@@ -1,0 +1,338 @@
+"""The Bayesian-optimization driver.
+
+Reference: src/limbo/bayes_opt/bo_base.hpp:179 (BoBase: sample DB, init,
+stats, stop chaining, NaN guards) and boptimizer.hpp:116 (BOptimizer: the
+classic fit -> acquire -> evaluate -> update loop, with periodic
+hyperparameter re-optimization via hp_period, boptimizer.hpp:163).
+
+TPU-first redesign:
+
+* The GP lives in fixed-capacity padded buffers sized once from
+  n_init + max_iterations, so the *entire run* compiles to a handful of XLA
+  programs (propose / add / hp-opt) — no shape-driven recompiles.
+
+* Two drive modes:
+    - `optimize(f, ...)`    — host loop, arbitrary Python objective (limbo's
+      model: control leaves the library at eval_and_add, bo_base.hpp:232).
+    - `optimize_jit(f, ...)` — f is a JAX function; the WHOLE BO run
+      (init eval, every fit/acquire/evaluate/update, periodic hp-opt) is one
+      `lax.scan` compiled on device.  This is the benchmark path: zero host
+      round-trips per iteration.
+
+* The acquisition optimizer defaults to batched multi-start gradient ascent
+  + a dense random sweep (acquisitions here are differentiable through the
+  GP query), replacing limbo's NLOpt DIRECT-L-RAND / CMA-ES default chain
+  (boptimizer.hpp:120-127).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from limbo_tpu.acqui.acqui import EI, UCB, FirstElem
+from limbo_tpu.bo.init_designs import RandomSampling
+from limbo_tpu.bo.stop import MaxIterations
+from limbo_tpu.kernels import MaternFiveHalves
+from limbo_tpu.means import DataMean
+from limbo_tpu.models import gp as gp_mod
+from limbo_tpu.opt.compose import RandomRestarts
+from limbo_tpu.opt.gradient import Rprop
+from limbo_tpu.utils.sysinfo import make_res_dir
+
+
+class EvaluationError(Exception):
+    """Raised on NaN/Inf observations (limbo bo_base.hpp:106,232-238)."""
+
+
+def default_acqui_optimizer():
+    """Batched multi-start ascent + random sweep (DIRECT replacement)."""
+    return RandomRestarts(sub=Rprop(iterations=60), repeats=16,
+                          sweep_samples=1024)
+
+
+@dataclasses.dataclass
+class BOState:
+    """Host-side view of a running optimization (mutable between steps)."""
+
+    gp: gp_mod.GP
+    key: jax.Array
+    iteration: int = 0
+    total_iterations: int = 0
+    aggregator: Callable = FirstElem
+    last_sample: Optional[np.ndarray] = None
+    last_observation: Optional[np.ndarray] = None
+    last_acqui_value: Optional[float] = None
+    last_prediction: Optional[np.ndarray] = None
+
+    # -- best-so-far (limbo best_observation/best_sample,
+    #    boptimizer.hpp:174-188) --------------------------------------------
+    @property
+    def _agg_obs(self) -> np.ndarray:
+        n = int(self.gp.n)
+        ys = np.asarray(self.gp.y[:n])
+        return np.array([self.aggregator(y) for y in ys])
+
+    @property
+    def best_index(self) -> int:
+        return int(np.argmax(self._agg_obs))
+
+    @property
+    def best_observation(self) -> np.ndarray:
+        n = int(self.gp.n)
+        return np.asarray(self.gp.y[:n])[self.best_index]
+
+    @property
+    def best_sample(self) -> np.ndarray:
+        n = int(self.gp.n)
+        return np.asarray(self.gp.x[:n])[self.best_index]
+
+    @property
+    def best_value(self) -> float:
+        agg = self._agg_obs
+        return float(np.max(agg)) if agg.size else -np.inf
+
+
+class BOptimizer:
+    """The classic single-objective BO loop (limbo BOptimizer)."""
+
+    def __init__(self,
+                 kernel=None,
+                 mean=None,
+                 acqui=None,
+                 acqui_optimizer=None,
+                 init=None,
+                 stop: Sequence = None,
+                 stats: Sequence = (),
+                 hp_opt=None,
+                 hp_period: int = -1,
+                 bounded: bool = True,
+                 stats_enabled: bool = True,
+                 res_base_dir: Optional[str] = None,
+                 dtype=jnp.float32):
+        self.kernel = kernel
+        self.mean = mean
+        self.acqui = acqui if acqui is not None else UCB()
+        self.acqui_optimizer = (acqui_optimizer if acqui_optimizer is not None
+                                else default_acqui_optimizer())
+        self.init = init if init is not None else RandomSampling(10)
+        self.stop = tuple(stop) if stop is not None else (MaxIterations(190),)
+        self.stats = tuple(stats)
+        self.hp_opt = hp_opt
+        self.hp_period = hp_period
+        self.bounded = bounded
+        self.stats_enabled = stats_enabled
+        self.dtype = dtype
+        self.res_dir = (make_res_dir(res_base_dir)
+                        if (stats_enabled and res_base_dir is not None
+                            and stats) else None)
+        self._propose_jit = None
+        self._add_jit = None
+        self._hp_jit = None
+
+    # -- defaults (GPBasic parity: Matern-5/2 + DataMean, model/gp.hpp:637) --
+
+    def _make_gp(self, dim_in: int, dim_out: int, capacity: int) -> gp_mod.GP:
+        kernel = (self.kernel if self.kernel is not None
+                  else MaternFiveHalves.create(dtype=self.dtype))
+        mean = (self.mean if self.mean is not None
+                else DataMean.create(dim_out=dim_out, dtype=self.dtype))
+        return gp_mod.empty(kernel, mean, dim_in, dim_out, capacity,
+                            dtype=self.dtype)
+
+    def _max_iterations(self) -> int:
+        for s in self.stop:
+            if isinstance(s, MaxIterations):
+                return s.iterations
+        return 190
+
+    def _capacity(self, extra: int = 0) -> int:
+        need = self.init.count + self._max_iterations() + extra + 1
+        return max(64, -(-need // 64) * 64)
+
+    # -- jitted pieces -------------------------------------------------------
+
+    def _build_propose(self):
+        acqui, agg_opt, bounded = self.acqui, self.acqui_optimizer, self.bounded
+        aggregator_cfg = getattr(self, "_aggregator", FirstElem)
+
+        @jax.jit
+        def propose(gp, key, iteration):
+            aggregator = aggregator_cfg
+            f_max = (acqui.best_predicted(gp, aggregator)
+                     if isinstance(acqui, EI) else None)
+
+            def acq_fn(x):
+                if isinstance(acqui, EI):
+                    return acqui(gp, x, aggregator, iteration, f_max=f_max)
+                return acqui(gp, x, aggregator, iteration)
+
+            start = jnp.full((gp.dim_in,), 0.5, dtype=gp.x.dtype)
+            res = agg_opt(acq_fn, start, key, bounded)
+            mu_pred, _ = gp_mod.query(gp, res.x[None, :])
+            return res.x, res.value, mu_pred[0]
+
+        return propose
+
+    def _build_hp(self):
+        hp_opt = self.hp_opt
+
+        @jax.jit
+        def run_hp(gp, key):
+            return hp_opt(gp, key)
+
+        return run_hp
+
+    # -- the host-driven loop ------------------------------------------------
+
+    def optimize(self, f: Callable, dim_in: int, dim_out: int = 1,
+                 aggregator: Callable = FirstElem, reset: bool = True,
+                 key: Optional[jax.Array] = None,
+                 state: Optional[BOState] = None) -> BOState:
+        """Run BO with a host-evaluated objective.
+
+        f: (d,) numpy/jax array -> (p,) array-like observation.
+        reset=False resumes from `state` keeping samples and total_iterations
+        (limbo bo_base.hpp:249-260, boptimizer.hpp:139-141).
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        self._aggregator = aggregator
+
+        if reset or state is None:
+            capacity = self._capacity()
+            gp = self._make_gp(dim_in, dim_out, capacity)
+            state = BOState(gp=gp, key=key, aggregator=aggregator)
+            # ---- init design (bo_base.hpp:249, init/*.hpp) ----
+            key, k_init = jax.random.split(key)
+            X0 = self.init(k_init, dim_in, dtype=self.dtype)
+            for i in range(X0.shape[0]):
+                x = np.asarray(X0[i])
+                y = self._eval_checked(f, x)
+                state.gp = self._add(state.gp, X0[i], jnp.asarray(y, dtype=self.dtype))
+        else:
+            state.iteration = 0  # current-run counter resets; total continues
+            need = self._capacity(extra=int(state.gp.n))
+            if need > state.gp.capacity:
+                state.gp = gp_mod.grow(state.gp, need)
+
+        if self._propose_jit is None:
+            self._propose_jit = self._build_propose()
+        if self.hp_opt is not None and self._hp_jit is None:
+            self._hp_jit = self._build_hp()
+
+        state.key = key
+        while not self._stopped(state):
+            state.key, k_prop, k_hp = jax.random.split(state.key, 3)
+            x_next, acq_val, mu_pred = self._propose_jit(
+                state.gp, k_prop, jnp.asarray(state.total_iterations))
+            y = self._eval_checked(f, np.asarray(x_next))
+            state.gp = self._add(state.gp, x_next,
+                                 jnp.asarray(y, dtype=self.dtype))
+            state.last_sample = np.asarray(x_next)
+            state.last_observation = np.asarray(y)
+            state.last_acqui_value = float(acq_val)
+            state.last_prediction = np.asarray(mu_pred)
+            state.iteration += 1
+            state.total_iterations += 1
+            # periodic hyperparameter re-optimization (boptimizer.hpp:163-165)
+            if (self.hp_opt is not None and self.hp_period > 0
+                    and state.total_iterations % self.hp_period == 0):
+                state.gp = self._hp_jit(state.gp, k_hp)
+            self._update_stats(state)
+        return state
+
+    def _add(self, gp, x, y):
+        if self._add_jit is None:
+            self._add_jit = jax.jit(gp_mod.add_sample)
+        return self._add_jit(gp, x, y)
+
+    def _eval_checked(self, f, x: np.ndarray) -> np.ndarray:
+        y = np.atleast_1d(np.asarray(f(x), dtype=np.float64))
+        if not np.all(np.isfinite(y)):
+            raise EvaluationError(f"invalid observation {y} at {x}")
+        return y
+
+    def _stopped(self, state: BOState) -> bool:
+        # OR-fold like limbo's chained criteria (stop/chain_criteria.hpp:65)
+        return any(bool(s(state)) for s in self.stop)
+
+    def _update_stats(self, state: BOState):
+        if not self.stats_enabled:
+            return
+        for stat in self.stats:
+            stat(self, state)
+
+    # -- the fully-jitted loop ----------------------------------------------
+
+    def optimize_jit(self, f: Callable, dim_in: int, dim_out: int = 1,
+                     key: Optional[jax.Array] = None,
+                     n_iterations: Optional[int] = None) -> Tuple[BOState, dict]:
+        """Run the ENTIRE BO loop as one lax.scan on device.
+
+        f must be a JAX-traceable (d,) -> (p,) function (e.g. a synthetic
+        benchmark or a simulator jitted in JAX).  Returns the final state and
+        a history dict with per-iteration samples/observations/best values.
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        iters = (n_iterations if n_iterations is not None
+                 else self._max_iterations())
+        capacity = self._capacity()
+        gp0 = self._make_gp(dim_in, dim_out, capacity)
+        acqui = self.acqui
+        agg_opt = self.acqui_optimizer
+        bounded = self.bounded
+        hp_opt, hp_period = self.hp_opt, self.hp_period
+        dtype = self.dtype
+
+        init_design = self.init
+
+        @partial(jax.jit, static_argnums=())
+        def run(key):
+            k_init, k_loop = jax.random.split(key)
+            X0 = init_design(k_init, dim_in, dtype=dtype)
+            Y0 = jax.vmap(f)(X0)                      # batched init evals
+
+            def seed(gp, xy):
+                x, y = xy
+                return gp_mod.add_sample(gp, x, y), None
+
+            gp, _ = jax.lax.scan(seed, gp0, (X0, Y0.astype(dtype)))
+
+            def step(carry, it):
+                gp, key = carry
+                key, k_prop, k_hp = jax.random.split(key, 3)
+                aggregator = FirstElem
+                f_max = (acqui.best_predicted(gp, aggregator)
+                         if isinstance(acqui, EI) else None)
+
+                def acq_fn(x):
+                    if isinstance(acqui, EI):
+                        return acqui(gp, x, aggregator, it, f_max=f_max)
+                    return acqui(gp, x, aggregator, it)
+
+                start = jnp.full((dim_in,), 0.5, dtype=dtype)
+                res = agg_opt(acq_fn, start, k_prop, bounded)
+                y = f(res.x).astype(dtype)
+                gp = gp_mod.add_sample(gp, res.x, y)
+                if hp_opt is not None and hp_period > 0:
+                    gp = jax.lax.cond((it + 1) % hp_period == 0,
+                                      lambda g: hp_opt(g, k_hp),
+                                      lambda g: g, gp)
+                agg_y = FirstElem(y)
+                return (gp, key), (res.x, y, agg_y)
+
+            (gp, _), (xs, ys, aggs) = jax.lax.scan(
+                step, (gp, k_loop), jnp.arange(iters))
+            best = jax.lax.cummax(aggs)
+            return gp, xs, ys, best
+
+        gp, xs, ys, best = run(key)
+        state = BOState(gp=gp, key=key, iteration=iters,
+                        total_iterations=iters)
+        history = {"samples": xs, "observations": ys, "best": best}
+        return state, history

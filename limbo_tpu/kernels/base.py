@@ -1,0 +1,90 @@
+"""Covariance-function base machinery.
+
+Design (TPU-first): a kernel is a pytree dataclass whose *fields are the
+hyperparameters* (log-space arrays), so `jax.grad` over a loss of the kernel
+gives hyperparameter gradients directly — this replaces limbo's hand-derived
+`gradient()` methods (src/limbo/kernel/kernel.hpp:74, exp.hpp:96, ...), which
+we keep only as test oracles.
+
+The fundamental operation is `gram(X1, X2)`, a full cross-covariance matrix
+built from one matmul-based pairwise-distance computation plus fused
+elementwise math, rather than limbo's per-entry `operator()(v1, v2)` fill
+(src/limbo/model/gp.hpp:550-571).  The per-pair form is derived from gram on
+singleton batches.
+
+Noise handling mirrors limbo's BaseKernel (kernel/kernel.hpp:74-125): the
+kernel owns a log-noise parameter (log of the noise *standard deviation*),
+`noise + 1e-8` jitter is added on the diagonal of training covariance
+matrices, and the noise parameter is appended last to the flat hyperparameter
+vector iff `optimize_noise` is set.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+JITTER = 1e-8
+
+
+class KernelMixin:
+    """Shared behaviour for all kernels (not a dataclass itself).
+
+    Subclasses (flax.struct dataclasses) must provide:
+      - field ``log_noise``: scalar array, log of noise std (so noise variance
+        = exp(2*log_noise)); limbo default noise=0.01 -> log_noise=log(0.1).
+      - static field ``optimize_noise``: bool.
+      - ``_core_params()`` -> flat log-space parameter vector (limbo order).
+      - ``_with_core_params(p)`` -> new kernel with those parameters.
+      - ``gram_core(X1, X2)`` -> (n, m) noiseless cross-covariance.
+      - ``k_diag(X)`` -> (n,) noiseless prior variances k(x, x).
+    """
+
+    # -- noise ---------------------------------------------------------------
+
+    @property
+    def noise(self) -> jax.Array:
+        """Noise variance (limbo BaseKernel::noise, kernel.hpp:127)."""
+        return jnp.exp(2.0 * self.log_noise)
+
+    # -- hyperparameter vector (limbo h_params protocol) ---------------------
+
+    @property
+    def params(self) -> jax.Array:
+        """Flat log-space hyperparameters; noise appended iff optimized."""
+        core = self._core_params()
+        if self.optimize_noise:
+            return jnp.concatenate([core, jnp.ravel(self.log_noise)])
+        return core
+
+    @property
+    def params_size(self) -> int:
+        n = int(self._core_params().shape[0])
+        return n + (1 if self.optimize_noise else 0)
+
+    def with_params(self, p: jax.Array):
+        """Rebuild the kernel from a flat log-space parameter vector."""
+        if self.optimize_noise:
+            core, ln = p[:-1], p[-1]
+            return self._with_core_params(core).replace(log_noise=ln)
+        return self._with_core_params(p)
+
+    # -- evaluation ----------------------------------------------------------
+
+    def __call__(self, x1: jax.Array, x2: jax.Array) -> jax.Array:
+        """Scalar covariance k(x1, x2) for two (d,) points (no noise)."""
+        return self.gram_core(x1[None, :], x2[None, :])[0, 0]
+
+    def gram(self, X1: jax.Array, X2: jax.Array) -> jax.Array:
+        """(n, m) cross-covariance, no noise (query path)."""
+        return self.gram_core(X1, X2)
+
+    def gram_train(self, X: jax.Array) -> jax.Array:
+        """(n, n) training covariance: gram + (noise + jitter) * I.
+
+        Matches limbo operator()(v1, v2, i, j) adding noise + 1e-8 when i==j
+        (kernel/kernel.hpp:81-84).
+        """
+        K = self.gram_core(X, X)
+        n = X.shape[0]
+        return K + (self.noise + JITTER) * jnp.eye(n, dtype=K.dtype)

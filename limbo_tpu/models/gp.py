@@ -1,0 +1,349 @@
+"""Exact Gaussian-process regression, TPU-first.
+
+Covers the capability surface of limbo's model::GP (src/limbo/model/gp.hpp:78):
+fit, incremental rank-1 Cholesky updates, posterior query (mu, sigma^2),
+log-marginal-likelihood and LOO-CV objectives, hyperparameter optimization
+hooks, and serialization — redesigned around XLA's compilation model:
+
+* **Padded fixed-capacity buffers.**  The dataset lives in (capacity, d)
+  arrays with a scalar valid-count ``n``; the padded block of the kernel
+  matrix is the identity (see utils.maths.masked_identity_gram).  Every
+  operation is jit-compiled once per capacity, not once per dataset size —
+  limbo's `add_sample` grows std::vectors (gp.hpp:126), which under XLA would
+  mean a recompile per BO iteration.
+
+* **Batched everything.**  Kernel matrices are matmul-based (MXU); queries
+  take (q, d) batches; the whole GP state is a pytree, so `vmap` over GPs
+  gives MultiGP for free and `lax.scan` over `add_sample` gives a fully
+  on-device BO loop.
+
+* **Autodiff replaces hand-derived gradients.**  limbo ships ~300 lines of
+  manual log-lik/LOO gradients (gp.hpp:285-402); here the objectives are
+  differentiable scalars and `jax.grad` does the rest.  The hand formulas
+  survive only in tests as oracles.
+
+Multi-output convention follows limbo: one shared kernel matrix for all
+``p`` output dimensions, observations (n, p), alpha (n, p).  The log-lik
+uses limbo's exact multi-output generalization (gp.hpp:267-281): the data
+term is summed over outputs but logdet and the 2*pi constant are counted
+once — a deliberate parity choice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.scipy.linalg import solve_triangular
+
+from limbo_tpu.kernels.base import JITTER
+from limbo_tpu.means.means import prepare_mean
+from limbo_tpu.utils.maths import masked_identity_gram
+
+DEFAULT_CAPACITY = 256
+
+
+def _round_capacity(n: int) -> int:
+    """Round up to a multiple of 64 (>= 2 sublane tiles) for friendly layouts."""
+    return max(64, -(-n // 64) * 64)
+
+
+@struct.dataclass
+class GP:
+    """Padded exact-GP state (pytree).
+
+    Fields:
+      kernel, mean: hyperparameter-carrying pytree dataclasses.
+      x: (N, d) padded sample buffer.       y: (N, p) padded observations.
+      n: scalar int32, number of valid samples.
+      L: (N, N) lower Cholesky factor of the masked training covariance
+         (identity on the padded block).
+      alpha: (N, p) = K^{-1} (y - m(x)), zero on the padded block.
+    """
+
+    kernel: object
+    mean: object
+    x: jax.Array
+    y: jax.Array
+    n: jax.Array
+    L: jax.Array
+    alpha: jax.Array
+
+    # -- static shape info ----------------------------------------------------
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def dim_in(self) -> int:
+        return self.x.shape[1]
+
+    @property
+    def dim_out(self) -> int:
+        return self.y.shape[1]
+
+    @property
+    def mask(self) -> jax.Array:
+        return (jnp.arange(self.capacity) < self.n).astype(self.x.dtype)
+
+    @property
+    def nb_samples(self) -> jax.Array:
+        return self.n
+
+    # -- convenience wrappers -------------------------------------------------
+
+    def query(self, Xq: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        return query(self, Xq)
+
+    def mu(self, Xq: jax.Array) -> jax.Array:
+        return query(self, Xq)[0]
+
+    def sigma_sq(self, Xq: jax.Array) -> jax.Array:
+        return query(self, Xq)[1]
+
+
+# ---------------------------------------------------------------------------
+# construction / (re)computation
+# ---------------------------------------------------------------------------
+
+def empty(kernel, mean, dim_in: int, dim_out: int = 1,
+          capacity: int = DEFAULT_CAPACITY, dtype=jnp.float32) -> GP:
+    """A GP with no samples (query returns the prior; limbo gp.hpp:159-171)."""
+    N = capacity
+    return GP(
+        kernel=kernel,
+        mean=mean,
+        x=jnp.zeros((N, dim_in), dtype=dtype),
+        y=jnp.zeros((N, dim_out), dtype=dtype),
+        n=jnp.asarray(0, dtype=jnp.int32),
+        L=jnp.eye(N, dtype=dtype),
+        alpha=jnp.zeros((N, dim_out), dtype=dtype),
+    )
+
+
+def fit(kernel, mean, X: jax.Array, Y: jax.Array,
+        capacity: Optional[int] = None) -> GP:
+    """Full GP fit (limbo GP::compute, gp.hpp:88): pad, factorize, solve.
+
+    X: (n, d), Y: (n, p).  capacity defaults to n rounded up to 64.
+    """
+    X = jnp.atleast_2d(X)
+    Y = jnp.atleast_2d(Y)
+    n, d = X.shape
+    p = Y.shape[1]
+    N = capacity if capacity is not None else _round_capacity(n)
+    assert N >= n, f"capacity {N} < n {n}"
+    dtype = X.dtype
+    xpad = jnp.zeros((N, d), dtype=dtype).at[:n].set(X)
+    ypad = jnp.zeros((N, p), dtype=dtype).at[:n].set(Y.astype(dtype))
+    gp = GP(kernel=kernel, mean=mean, x=xpad, y=ypad,
+            n=jnp.asarray(n, dtype=jnp.int32),
+            L=jnp.eye(N, dtype=dtype), alpha=jnp.zeros((N, p), dtype=dtype))
+    return recompute(gp)
+
+
+def recompute(gp: GP, update_obs_mean: bool = True) -> GP:
+    """Re-factorize from stored data (limbo GP::recompute, gp.hpp:241).
+
+    Called after hyperparameters change.  jit-safe: all masked, static shapes.
+    """
+    mask = gp.mask
+    mean = prepare_mean(gp.mean, gp.y, mask) if update_obs_mean else gp.mean
+    K = gp.kernel.gram_train(gp.x)
+    K = masked_identity_gram(K, mask)
+    L = jnp.linalg.cholesky(K)
+    centered = (gp.y - mean(gp.x)) * mask[:, None]
+    alpha = _cho_solve(L, centered)
+    return gp.replace(mean=mean, L=L, alpha=alpha)
+
+
+def _cho_solve(L: jax.Array, B: jax.Array) -> jax.Array:
+    z = solve_triangular(L, B, lower=True)
+    return solve_triangular(L.T, z, lower=False)
+
+
+# ---------------------------------------------------------------------------
+# incremental update (rank-1 Cholesky)
+# ---------------------------------------------------------------------------
+
+def add_sample(gp: GP, x_new: jax.Array, y_new: jax.Array) -> GP:
+    """O(N^2) incremental update (limbo GP::add_sample +
+    _compute_incremental_kernel, gp.hpp:126,573-603).
+
+    Appends one (d,), (p,) sample at index n.  The new Cholesky row is
+    l = L^{-1} k_new (one triangular solve); the padded-identity structure of
+    L makes this exact with full-capacity solves — padded entries of k are
+    zero, so padded entries of l are zero.  alpha is then re-solved in O(N^2 p)
+    (limbo _compute_alpha, gp.hpp:605).  Works from n=0 (L=I) with no special
+    case, and is jit/scan-safe.
+    """
+    i = gp.n
+    mask = gp.mask
+    dtype = gp.x.dtype
+    x_new = jnp.asarray(x_new, dtype=dtype)
+    y_new = jnp.asarray(y_new, dtype=dtype)
+
+    k_vec = gp.kernel.gram(x_new[None, :], gp.x)[0] * mask          # (N,)
+    l = solve_triangular(gp.L, k_vec, lower=True)                   # (N,)
+    kxx = gp.kernel.k_diag(x_new[None, :])[0] + gp.kernel.noise + JITTER
+    d2 = kxx - jnp.dot(l, l)
+    d = jnp.sqrt(jnp.maximum(d2, JITTER))
+
+    N = gp.capacity
+    e_i = (jnp.arange(N) == i).astype(dtype)
+    new_row = l * mask + d * e_i
+    L = gp.L.at[i].set(new_row)
+    # keep the rest of row/col i consistent: row i had identity (e_i) before;
+    # we've overwritten it.  Columns below row i are untouched (they are
+    # still identity rows), which is exactly the block structure we need.
+    x = gp.x.at[i].set(x_new)
+    y = gp.y.at[i].set(y_new)
+    n = i + 1
+
+    gp2 = gp.replace(x=x, y=y, n=n, L=L)
+    mean = prepare_mean(gp2.mean, y, gp2.mask)
+    centered = (y - mean(x)) * gp2.mask[:, None]
+    alpha = _cho_solve(L, centered)
+    return gp2.replace(mean=mean, alpha=alpha)
+
+
+def grow(gp: GP, new_capacity: int) -> GP:
+    """Enlarge the padded buffers (host-level; triggers one recompile).
+
+    The padded-identity invariant means L/alpha just extend with an identity /
+    zero block — no refactorization.
+    """
+    N0, N1 = gp.capacity, new_capacity
+    assert N1 >= N0
+    d, p = gp.dim_in, gp.dim_out
+    dtype = gp.x.dtype
+    x = jnp.zeros((N1, d), dtype=dtype).at[:N0].set(gp.x)
+    y = jnp.zeros((N1, p), dtype=dtype).at[:N0].set(gp.y)
+    L = jnp.eye(N1, dtype=dtype).at[:N0, :N0].set(gp.L)
+    alpha = jnp.zeros((N1, p), dtype=dtype).at[:N0].set(gp.alpha)
+    return gp.replace(x=x, y=y, L=L, alpha=alpha)
+
+
+# ---------------------------------------------------------------------------
+# posterior query
+# ---------------------------------------------------------------------------
+
+def query(gp: GP, Xq: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Batched posterior moments (limbo GP::query/mu/sigma, gp.hpp:159-196).
+
+    Xq: (q, d) -> (mu (q, p), sigma_sq (q,)).  sigma_sq is the latent
+    (noise-free) predictive variance, clamped at 0 (gp.hpp:618-624).
+    """
+    Xq = jnp.atleast_2d(Xq).astype(gp.x.dtype)
+    mask = gp.mask
+    ks = gp.kernel.gram(Xq, gp.x) * mask[None, :]                    # (q, N)
+    mu = jnp.dot(ks, gp.alpha, preferred_element_type=ks.dtype) + gp.mean(Xq)
+    z = solve_triangular(gp.L, ks.T, lower=True)                     # (N, q)
+    var = gp.kernel.k_diag(Xq) - jnp.sum(z * z, axis=0)
+    var = jnp.maximum(var, 0.0)
+    return mu, var
+
+
+# ---------------------------------------------------------------------------
+# objectives (differentiable scalars)
+# ---------------------------------------------------------------------------
+
+def log_lik(gp: GP) -> jax.Array:
+    """Log marginal likelihood of the current factorization.
+
+    limbo GP::compute_log_lik (gp.hpp:267-281):
+      -0.5 tr(C^T alpha) - 0.5 logdet(K) - 0.5 n log(2 pi)
+    where C = y - m(x).  Note logdet/2pi counted once regardless of dim_out
+    (limbo's multi-output generalization).
+    """
+    mask = gp.mask
+    centered = (gp.y - gp.mean(gp.x)) * mask[:, None]
+    a = jnp.sum(centered * gp.alpha)
+    # padded diag of L is 1 -> log 0 contributions vanish automatically
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(gp.L)))
+    n = gp.n.astype(gp.x.dtype)
+    return -0.5 * a - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
+
+
+def log_marginal_likelihood(kernel, mean, x: jax.Array, y: jax.Array,
+                            n: jax.Array) -> jax.Array:
+    """LML as a pure differentiable function of (kernel, mean) params.
+
+    This is the hyperparameter-learning objective; `jax.grad` of this replaces
+    limbo's hand-derived compute_kernel_grad_log_lik / compute_mean_grad_log_lik
+    (gp.hpp:285-337).
+    """
+    N = x.shape[0]
+    mask = (jnp.arange(N) < n).astype(x.dtype)
+    mean = prepare_mean(mean, y, mask)
+    K = masked_identity_gram(kernel.gram_train(x), mask)
+    L = jnp.linalg.cholesky(K)
+    centered = (y - mean(x)) * mask[:, None]
+    alpha = _cho_solve(L, centered)
+    a = jnp.sum(centered * alpha)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    nf = n.astype(x.dtype) if hasattr(n, "astype") else jnp.asarray(n, x.dtype)
+    return -0.5 * a - 0.5 * logdet - 0.5 * nf * jnp.log(2.0 * jnp.pi)
+
+
+def inv_kernel(gp: GP) -> jax.Array:
+    """K^{-1} via two triangular solves (limbo compute_inv_kernel, gp.hpp:254)."""
+    eye = jnp.eye(gp.capacity, dtype=gp.x.dtype)
+    return _cho_solve(gp.L, eye)
+
+
+def log_loo_cv(gp: GP) -> jax.Array:
+    """Leave-one-out predictive log probability.
+
+    limbo GP::compute_log_loo_cv (gp.hpp:339-351), Rasmussen & Williams 5.4.2:
+      sum_i sum_out [ -0.5 alpha_i^2 / Kinv_ii - 0.5 log(1/Kinv_ii)
+                      - 0.5 log 2 pi ]   (masked over valid i)
+    """
+    Kinv = inv_kernel(gp)
+    inv_diag = 1.0 / jnp.diagonal(Kinv)                              # (N,)
+    mask = gp.mask
+    per = (-0.5 * (gp.alpha ** 2) * inv_diag[:, None]
+           - 0.5 * jnp.log(inv_diag)[:, None]
+           - 0.5 * jnp.log(2.0 * jnp.pi))
+    return jnp.sum(per * mask[:, None])
+
+
+def log_loo_cv_fn(kernel, mean, x: jax.Array, y: jax.Array,
+                  n: jax.Array) -> jax.Array:
+    """LOO-CV as a pure differentiable function of hyperparameters
+    (objective for KernelLooOpt; grads replace gp.hpp:354-402)."""
+    N = x.shape[0]
+    mask = (jnp.arange(N) < n).astype(x.dtype)
+    mean = prepare_mean(mean, y, mask)
+    K = masked_identity_gram(kernel.gram_train(x), mask)
+    L = jnp.linalg.cholesky(K)
+    centered = (y - mean(x)) * mask[:, None]
+    alpha = _cho_solve(L, centered)
+    Kinv = _cho_solve(L, jnp.eye(N, dtype=x.dtype))
+    inv_diag = 1.0 / jnp.diagonal(Kinv)
+    per = (-0.5 * (alpha ** 2) * inv_diag[:, None]
+           - 0.5 * jnp.log(inv_diag)[:, None]
+           - 0.5 * jnp.log(2.0 * jnp.pi))
+    return jnp.sum(per * mask[:, None])
+
+
+# ---------------------------------------------------------------------------
+# data access helpers (limbo samples()/observations()/mean_observation())
+# ---------------------------------------------------------------------------
+
+def samples(gp: GP) -> jax.Array:
+    """Valid samples (host-side convenience; returns a (n, d) numpy view)."""
+    return gp.x[: int(gp.n)]
+
+
+def observations(gp: GP) -> jax.Array:
+    return gp.y[: int(gp.n)]
+
+
+def mean_observation(gp: GP) -> jax.Array:
+    """Column means of valid observations (limbo gp.mean_observation())."""
+    m = gp.mask
+    return jnp.sum(gp.y * m[:, None], axis=0) / jnp.maximum(jnp.sum(m), 1.0)

@@ -1,0 +1,103 @@
+"""End-to-end BO tests (mirrors src/tests/test_boptimizer.cpp):
+
+- finds the optimum of -(x - 0.25)^2 within tolerance with UCB and EI
+  (:202,229,256), with and without hyperparameter optimization
+- NaN observations raise EvaluationError (bo_base.hpp:232-238)
+- the fully-jitted lax.scan loop agrees in capability with the host loop
+- reset=False resume keeps samples (bo_base.hpp:249-260)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from limbo_tpu.acqui import EI, GP_UCB, UCB
+from limbo_tpu.bo import BOptimizer, EvaluationError, MaxIterations, RandomSampling
+from limbo_tpu.kernels import MaternFiveHalves, SquaredExpARD
+from limbo_tpu.means import DataMean
+from limbo_tpu.models.hp_opt import KernelLFOpt
+from limbo_tpu.opt import RandomRestarts, Rprop
+
+OPT_X = 0.25
+
+
+def quad(x):
+    x = np.asarray(x)
+    return np.array([-np.sum((x - OPT_X) ** 2)])
+
+
+def make_bo(acqui, iters=40, hp=False, dtype=jnp.float64):
+    kwargs = dict(
+        acqui=acqui,
+        init=RandomSampling(6),
+        stop=(MaxIterations(iters),),
+        acqui_optimizer=RandomRestarts(sub=Rprop(iterations=40), repeats=8,
+                                       sweep_samples=256),
+        stats_enabled=False,
+        dtype=dtype,
+    )
+    if hp:
+        kwargs["kernel"] = SquaredExpARD.create(dim=2, dtype=dtype)
+        kwargs["hp_opt"] = KernelLFOpt(optimizer=Rprop(iterations=50))
+        kwargs["hp_period"] = 10
+    return BOptimizer(**kwargs)
+
+
+@pytest.mark.parametrize("acqui", [UCB(alpha=0.5), EI(), GP_UCB()])
+def test_bo_finds_optimum(acqui):
+    bo = make_bo(acqui)
+    state = bo.optimize(quad, dim_in=2, key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(state.best_sample, [OPT_X, OPT_X], atol=0.1)
+    assert state.best_value > -1e-2
+
+
+def test_bo_with_hp_opt():
+    bo = make_bo(UCB(alpha=0.5), iters=40, hp=True)
+    state = bo.optimize(quad, dim_in=2, key=jax.random.PRNGKey(4))
+    np.testing.assert_allclose(state.best_sample, [OPT_X, OPT_X], atol=0.1)
+
+
+def test_nan_observation_raises():
+    bo = make_bo(UCB(), iters=5)
+
+    def bad(x):
+        return np.array([np.nan])
+
+    with pytest.raises(EvaluationError):
+        bo.optimize(bad, dim_in=2, key=jax.random.PRNGKey(0))
+
+
+def test_resume_keeps_samples():
+    bo = make_bo(UCB(), iters=10)
+    state = bo.optimize(quad, dim_in=2, key=jax.random.PRNGKey(5))
+    n_after_first = int(state.gp.n)
+    assert n_after_first == 6 + 10
+    state2 = bo.optimize(quad, dim_in=2, reset=False, state=state,
+                         key=jax.random.PRNGKey(6))
+    assert int(state2.gp.n) == n_after_first + 10
+    assert state2.total_iterations == 20
+
+
+def test_optimize_jit_full_scan():
+    """The whole BO loop under one jit (device objective)."""
+    def f(x):
+        return jnp.asarray([-jnp.sum((x - OPT_X) ** 2)])
+
+    bo = make_bo(UCB(alpha=0.5), iters=30)
+    state, history = bo.optimize_jit(f, dim_in=2, key=jax.random.PRNGKey(7))
+    assert history["samples"].shape == (30, 2)
+    assert float(history["best"][-1]) > -1e-2
+    np.testing.assert_allclose(state.best_sample, [OPT_X, OPT_X], atol=0.1)
+    # best trajectory is monotone
+    best = np.asarray(history["best"])
+    assert np.all(np.diff(best) >= -1e-12)
+
+
+def test_optimize_jit_with_hp_opt():
+    def f(x):
+        return jnp.asarray([-jnp.sum((x - OPT_X) ** 2)])
+
+    bo = make_bo(UCB(alpha=0.5), iters=25, hp=True)
+    state, history = bo.optimize_jit(f, dim_in=2, key=jax.random.PRNGKey(8))
+    assert float(history["best"][-1]) > -5e-2

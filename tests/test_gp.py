@@ -1,0 +1,214 @@
+"""GP model tests, mirroring src/tests/test_gp.cpp's strategy:
+
+- exact interpolation at samples (test_gp.cpp:473)
+- incremental add_sample == batch fit (test_gp_bw_inversion, :568)
+- prior behaviour with no samples (:637, :697)
+- log-lik gradient vs finite differences (:131-315, via autodiff here)
+- hyperparameter optimization improves log-lik (gp_auto, :669)
+- K^{-1} correctness (:382)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from limbo_tpu.kernels import Exp, MaternFiveHalves, SquaredExpARD
+from limbo_tpu.means import ConstantMean, DataMean, NullMean
+from limbo_tpu.models import gp as gp_mod
+from limbo_tpu.models.hp_opt import KernelLFOpt, KernelLooOpt, KernelMeanLFOpt
+from limbo_tpu.opt import Rprop
+
+F64 = jnp.float64
+
+
+def make_data(rng, n=20, d=2, p=1):
+    X = jnp.asarray(rng.uniform(size=(n, d)))
+    Y = jnp.asarray(np.sin(3 * np.asarray(X).sum(axis=1, keepdims=True))
+                    + 0.1 * rng.normal(size=(n, p)))
+    return X, Y
+
+
+def test_exact_interpolation(rng):
+    """Posterior mean at training points reproduces observations (low noise)."""
+    # short length scale keeps K well-conditioned so interpolation is tight
+    X, Y = make_data(rng, n=15)
+    kern = Exp.create(noise=1e-10, l=0.2, dtype=F64)
+    gp = gp_mod.fit(kern, NullMean(), X, Y)
+    mu, var = gp_mod.query(gp, X)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(Y), atol=1e-5)
+    assert np.all(np.asarray(var) < 1e-4)
+
+
+def test_prior_no_samples():
+    """Empty GP returns the prior mean and prior variance (gp.hpp:159-171)."""
+    kern = Exp.create(sigma_sq=2.0, dtype=F64)
+    gp = gp_mod.empty(kern, ConstantMean.create(0.5, dtype=F64), dim_in=2,
+                      capacity=64, dtype=F64)
+    mu, var = gp_mod.query(gp, jnp.asarray([[0.3, 0.4]], dtype=F64))
+    np.testing.assert_allclose(float(mu[0, 0]), 0.5, atol=1e-12)
+    np.testing.assert_allclose(float(var[0]), 2.0, rtol=1e-10)
+
+
+def test_incremental_equals_batch(rng):
+    """add_sample chain == one-shot fit (limbo test_gp_bw_inversion)."""
+    X, Y = make_data(rng, n=12, d=2)
+    kern = MaternFiveHalves.create(dtype=F64)
+    mean = DataMean.create(dim_out=1, dtype=F64)
+    batch = gp_mod.fit(kern, mean, X, Y, capacity=64)
+
+    inc = gp_mod.empty(kern, mean, dim_in=2, capacity=64, dtype=F64)
+    add = jax.jit(gp_mod.add_sample)
+    for i in range(12):
+        inc = add(inc, X[i], Y[i])
+
+    np.testing.assert_allclose(np.asarray(inc.L), np.asarray(batch.L),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(inc.alpha), np.asarray(batch.alpha),
+                               atol=1e-8)
+    Xq = jnp.asarray(rng.uniform(size=(7, 2)))
+    mu_b, var_b = gp_mod.query(batch, Xq)
+    mu_i, var_i = gp_mod.query(inc, Xq)
+    np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_b), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_b), atol=1e-9)
+
+
+def test_padding_invariance(rng):
+    """Results don't depend on the padded capacity."""
+    X, Y = make_data(rng, n=10)
+    kern = Exp.create(dtype=F64)
+    gp1 = gp_mod.fit(kern, NullMean(), X, Y, capacity=64)
+    gp2 = gp_mod.fit(kern, NullMean(), X, Y, capacity=192)
+    Xq = jnp.asarray(rng.uniform(size=(5, 2)))
+    for a, b in zip(gp_mod.query(gp1, Xq), gp_mod.query(gp2, Xq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+    np.testing.assert_allclose(float(gp_mod.log_lik(gp1)),
+                               float(gp_mod.log_lik(gp2)), rtol=1e-12)
+
+
+def test_grow_preserves_state(rng):
+    X, Y = make_data(rng, n=10)
+    kern = Exp.create(dtype=F64)
+    gp = gp_mod.fit(kern, NullMean(), X, Y, capacity=64)
+    gp2 = gp_mod.grow(gp, 128)
+    Xq = jnp.asarray(rng.uniform(size=(5, 2)))
+    for a, b in zip(gp_mod.query(gp, Xq), gp_mod.query(gp2, Xq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+    # and adding a sample to the grown GP still matches a batch fit
+    xn = jnp.asarray(rng.uniform(size=2))
+    yn = jnp.asarray([0.3], dtype=F64)
+    gp3 = gp_mod.add_sample(gp2, xn, yn)
+    ref = gp_mod.fit(kern, NullMean(), jnp.vstack([X, xn[None]]),
+                     jnp.vstack([Y, yn[None]]), capacity=128)
+    mu_a, _ = gp_mod.query(gp3, Xq)
+    mu_r, _ = gp_mod.query(ref, Xq)
+    np.testing.assert_allclose(np.asarray(mu_a), np.asarray(mu_r), atol=1e-9)
+
+
+@pytest.mark.parametrize("mean_cls", ["null", "constant", "data"])
+def test_log_lik_grad_fd(mean_cls, rng):
+    """Autodiff LML gradient vs finite differences (limbo check_grad)."""
+    X, Y = make_data(rng, n=14, d=2)
+    kern = SquaredExpARD.create(dim=2, optimize_noise=True, dtype=F64)
+    mean = {"null": NullMean(), "constant": ConstantMean.create(0.2, dtype=F64),
+            "data": DataMean.create(dtype=F64)}[mean_cls]
+    n = jnp.asarray(14)
+
+    def f(p):
+        return gp_mod.log_marginal_likelihood(
+            kern.with_params(p), mean,
+            jnp.zeros((32, 2), dtype=F64).at[:14].set(X),
+            jnp.zeros((32, 1), dtype=F64).at[:14].set(Y), n)
+
+    p0 = kern.params + jnp.asarray(rng.normal(scale=0.2, size=kern.params_size))
+    g = jax.grad(f)(p0)
+    eps = 1e-6
+    for j in range(p0.shape[0]):
+        e = jnp.zeros_like(p0).at[j].set(eps)
+        fd = (f(p0 + e) - f(p0 - e)) / (2 * eps)
+        np.testing.assert_allclose(g[j], fd, rtol=1e-4, atol=1e-6)
+
+
+def test_loo_cv_grad_fd(rng):
+    """LOO-CV gradient vs finite differences (test_gp.cpp:273-315)."""
+    X, Y = make_data(rng, n=12, d=2)
+    kern = SquaredExpARD.create(dim=2, dtype=F64)
+    n = jnp.asarray(12)
+    xp = jnp.zeros((32, 2), dtype=F64).at[:12].set(X)
+    yp = jnp.zeros((32, 1), dtype=F64).at[:12].set(Y)
+
+    def f(p):
+        return gp_mod.log_loo_cv_fn(kern.with_params(p), NullMean(), xp, yp, n)
+
+    p0 = kern.params
+    g = jax.grad(f)(p0)
+    eps = 1e-6
+    for j in range(p0.shape[0]):
+        e = jnp.zeros_like(p0).at[j].set(eps)
+        fd = (f(p0 + e) - f(p0 - e)) / (2 * eps)
+        np.testing.assert_allclose(g[j], fd, rtol=1e-4, atol=1e-6)
+
+
+def test_inv_kernel(rng):
+    """K^{-1} from Cholesky matches direct inverse (test_gp.cpp:382)."""
+    X, Y = make_data(rng, n=10)
+    kern = Exp.create(dtype=F64)
+    gp = gp_mod.fit(kern, NullMean(), X, Y, capacity=32)
+    from limbo_tpu.utils.maths import masked_identity_gram
+    K = masked_identity_gram(kern.gram_train(gp.x), gp.mask)
+    Kinv = gp_mod.inv_kernel(gp)
+    np.testing.assert_allclose(np.asarray(Kinv @ K), np.eye(32), atol=1e-8)
+
+
+def test_hp_opt_improves_log_lik(rng):
+    """KernelLFOpt improves the LML (limbo gp_auto test, test_gp.cpp:669)."""
+    n = 40
+    X = jnp.asarray(rng.uniform(size=(n, 1)))
+    Y = jnp.asarray(np.cos(6 * np.asarray(X)))
+    kern = SquaredExpARD.create(dim=1, dtype=F64)
+    gp0 = gp_mod.fit(kern, DataMean.create(dtype=F64), X, Y)
+    ll0 = float(gp_mod.log_lik(gp0))
+    opt = KernelLFOpt(optimizer=Rprop(iterations=150))
+    gp1 = jax.jit(opt)(gp0, jax.random.PRNGKey(0))
+    ll1 = float(gp_mod.log_lik(gp1))
+    assert ll1 > ll0
+    # predictions should be good after hp-opt
+    Xq = jnp.linspace(0, 1, 50, dtype=F64)[:, None]
+    mu, _ = gp_mod.query(gp1, Xq)
+    np.testing.assert_allclose(np.asarray(mu[:, 0]),
+                               np.cos(6 * np.asarray(Xq[:, 0])), atol=0.1)
+
+
+def test_loo_opt_improves(rng):
+    n = 30
+    X = jnp.asarray(rng.uniform(size=(n, 1)))
+    Y = jnp.asarray(np.cos(6 * np.asarray(X)))
+    kern = SquaredExpARD.create(dim=1, dtype=F64)
+    gp0 = gp_mod.fit(kern, NullMean(), X, Y)
+    loo0 = float(gp_mod.log_loo_cv(gp0))
+    gp1 = jax.jit(KernelLooOpt(optimizer=Rprop(iterations=100)))(
+        gp0, jax.random.PRNGKey(0))
+    loo1 = float(gp_mod.log_loo_cv(gp1))
+    assert loo1 > loo0
+
+
+def test_multi_output_shared_kernel(rng):
+    """dim_out > 1 with one shared kernel matrix (limbo convention)."""
+    X, _ = make_data(rng, n=12)
+    Y = jnp.asarray(rng.normal(size=(12, 3)))
+    kern = Exp.create(noise=1e-8, l=0.2, dtype=F64)
+    gp = gp_mod.fit(kern, NullMean(dim_out=3), X, Y)
+    mu, var = gp_mod.query(gp, X)
+    assert mu.shape == (12, 3)
+    assert var.shape == (12,)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(Y), atol=1e-4)
+
+
+def test_identical_samples_jitter(rng):
+    """Duplicated samples stay numerically stable (test_gp.cpp:513)."""
+    X = jnp.asarray([[0.5, 0.5]] * 5, dtype=F64)
+    Y = jnp.asarray([[1.0]] * 5, dtype=F64)
+    gp = gp_mod.fit(Exp.create(dtype=F64), NullMean(), X, Y)
+    mu, var = gp_mod.query(gp, X)
+    assert np.all(np.isfinite(np.asarray(mu)))
+    assert np.all(np.isfinite(np.asarray(var)))

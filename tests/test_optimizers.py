@@ -1,0 +1,128 @@
+"""Inner-optimizer tests (mirrors src/tests/test_optimizers.cpp):
+
+- random/grid search hit known optima on simple functions (:120-166)
+- classic gradient optimizers (Rprop/Adam/GradientAscent + momentum/nesterov)
+  on standard test functions (:196-272)
+- ParallelRepeater and Chained combinators (:274-305)
+- CMA-ES bounded/unbounded (src/tests/test_cmaes.cpp:66-92)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from limbo_tpu.opt import (
+    Adam,
+    Chained,
+    Cmaes,
+    GradientAscent,
+    GridSearch,
+    ParallelRepeater,
+    RandomPoint,
+    RandomRestarts,
+    RandomSweep,
+    Rprop,
+)
+
+KEY = jax.random.PRNGKey(7)
+
+
+def sphere_max(x):
+    """Maximize -(x - 0.5)^2 summed: optimum at 0.5 with value 0."""
+    return -jnp.sum((x - 0.5) ** 2)
+
+
+def test_grid_search():
+    res = GridSearch(bins=20)(sphere_max, jnp.zeros(2), KEY, True)
+    np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=1e-6)
+
+
+def test_random_sweep():
+    res = RandomSweep(samples=4096)(sphere_max, jnp.zeros(2), KEY, True)
+    np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=0.05)
+
+
+def test_random_point_in_bounds():
+    res = RandomPoint()(sphere_max, jnp.zeros(3), KEY, True)
+    x = np.asarray(res.x)
+    assert np.all(x >= 0) and np.all(x <= 1)
+
+
+@pytest.mark.parametrize("opt", [
+    Rprop(iterations=150),
+    Adam(iterations=3000, alpha=0.05),
+    GradientAscent(iterations=2000, alpha=0.02),
+    GradientAscent(iterations=2000, alpha=0.02, gamma=0.7),
+    GradientAscent(iterations=2000, alpha=0.02, gamma=0.7, nesterov=True),
+])
+def test_classic_optimizers_bounded(opt):
+    res = opt(sphere_max, jnp.asarray([0.1, 0.9]), KEY, True)
+    np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=1e-2)
+    assert float(res.value) > -1e-3
+
+
+def test_rprop_unbounded():
+    """Optimum outside [0,1] reachable when bounded=False."""
+    f = lambda x: -jnp.sum((x - 2.5) ** 2)
+    res = Rprop(iterations=300)(f, jnp.zeros(2), KEY, False)
+    np.testing.assert_allclose(np.asarray(res.x), [2.5, 2.5], atol=1e-2)
+
+
+def test_parallel_repeater():
+    opt = ParallelRepeater(sub=Rprop(iterations=100), repeats=8, epsilon=0.1)
+    res = opt(sphere_max, jnp.asarray([0.3, 0.3]), KEY, True)
+    np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=1e-2)
+
+
+def test_random_restarts_escapes_local_max():
+    """Multi-modal: restarts find the global maximum."""
+    def f(x):
+        # two bumps, global at 0.8
+        return (jnp.exp(-100 * jnp.sum((x - 0.2) ** 2)) * 0.5
+                + jnp.exp(-100 * jnp.sum((x - 0.8) ** 2)))
+
+    opt = RandomRestarts(sub=Rprop(iterations=80), repeats=24,
+                         sweep_samples=512)
+    res = opt(f, jnp.asarray([0.2]), KEY, True)
+    np.testing.assert_allclose(np.asarray(res.x), [0.8], atol=5e-2)
+
+
+def test_chained():
+    opt = Chained(subs=(RandomSweep(samples=256), Rprop(iterations=100)))
+    res = opt(sphere_max, jnp.asarray([0.9, 0.9]), KEY, True)
+    np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=1e-2)
+
+
+def test_cmaes_bounded():
+    res = Cmaes(iterations=80)(sphere_max, jnp.asarray([0.2, 0.2]), KEY, True)
+    np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=2e-2)
+
+
+def test_cmaes_unbounded():
+    """limbo test_cmaes: unbounded CMA-ES finds x* = 2.5 (test_cmaes.cpp:85)."""
+    f = lambda x: -jnp.sum((x - 2.5) ** 2)
+    res = Cmaes(iterations=200, sigma0=1.0)(f, jnp.zeros(2), KEY, False)
+    np.testing.assert_allclose(np.asarray(res.x), [2.5, 2.5], atol=5e-2)
+
+
+def test_cmaes_rastrigin_multimodal():
+    """CMA-ES with restarts on 2-D Rastrigin (global opt at 0.5 after shift)."""
+    def f(x):
+        z = (x - 0.5) * 2.0
+        return -(10 * 2 + jnp.sum(z * z - 10 * jnp.cos(2 * jnp.pi * z)))
+
+    res = Cmaes(iterations=150, pop_size=24, restarts=4)(
+        f, jnp.asarray([0.9, 0.1]), KEY, True)
+    np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=2e-2)
+
+
+def test_vmappable():
+    """Optimizers compose under vmap (the TBB-replacement property)."""
+    opt = Rprop(iterations=50)
+    inits = jnp.stack([jnp.full((2,), 0.1), jnp.full((2,), 0.9)])
+    keys = jax.random.split(KEY, 2)
+    res = jax.vmap(lambda x0, k: opt(sphere_max, x0, k, True))(inits, keys)
+    assert res.x.shape == (2, 2)
+    np.testing.assert_allclose(np.asarray(res.x),
+                               [[0.5, 0.5], [0.5, 0.5]], atol=1e-2)
