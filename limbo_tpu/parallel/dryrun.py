@@ -1,0 +1,86 @@
+"""Multi-chip dry-run: jit the full training/acquisition step over a mesh.
+
+Exercised by the driver via __graft_entry__.dryrun_multichip(n) with N virtual
+CPU devices, and by tests on the 8-device CPU mesh.  This is the framework's
+"full training step": hyperparameter gradient update on the LML (the GP's
+training), sharded acquisition fan-out with a global argmax collective, a
+row-sharded (tensor-parallel) posterior-mean evaluation, and the rank-1
+dataset update — one jitted program over the mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from limbo_tpu.acqui.acqui import UCB, FirstElem
+from limbo_tpu.kernels import SquaredExpARD
+from limbo_tpu.means import DataMean
+from limbo_tpu.models import gp as gp_mod
+from limbo_tpu.opt.gradient import Rprop
+from limbo_tpu.parallel.mesh import make_mesh
+from limbo_tpu.parallel.sharded import (
+    row_sharded_posterior_mean,
+    sharded_restart_opt,
+)
+
+
+def run_dryrun(n_devices: int) -> None:
+    mesh = make_mesh(n_devices, axis_name="restarts")
+    axis = "restarts"
+
+    n, d, q = 32, 3, 16
+    key = jax.random.PRNGKey(0)
+    kx, ky, kq, kstep = jax.random.split(key, 4)
+    X = jax.random.uniform(kx, (n, d), dtype=jnp.float32)
+    Y = jnp.sin(jnp.sum(X, axis=1, keepdims=True)) \
+        + 0.05 * jax.random.normal(ky, (n, 1), dtype=jnp.float32)
+    Xq = jax.random.uniform(kq, (q, d), dtype=jnp.float32)
+
+    kernel = SquaredExpARD.create(dim=d, dtype=jnp.float32)
+    mean = DataMean.create(dim_out=1, dtype=jnp.float32)
+    gp = gp_mod.fit(kernel, mean, X, Y, capacity=64)
+
+    acqui = UCB(alpha=0.5)
+    sub_opt = Rprop(iterations=10)
+
+    def train_step(gp, Xq, key):
+        # (1) hyperparameter gradient step on the marginal likelihood
+        def lml(p):
+            return gp_mod.log_marginal_likelihood(
+                gp.kernel.with_params(p), gp.mean, gp.x, gp.y, gp.n)
+
+        g = jax.grad(lml)(gp.kernel.params)
+        new_params = gp.kernel.params + 1e-2 * g
+        gp = gp_mod.recompute(gp.replace(kernel=gp.kernel.with_params(new_params)))
+
+        # (2) acquisition fan-out sharded over the mesh + global argmax
+        def acq_fn(x):
+            return acqui(gp, x, FirstElem, 1)
+
+        start = jnp.full((gp.dim_in,), 0.5, dtype=jnp.float32)
+        res = sharded_restart_opt(mesh, sub_opt, acq_fn, start, key,
+                                  bounded=True, restarts_per_device=2,
+                                  axis=axis)
+
+        # (3) row-sharded posterior mean over the candidate batch (tp-style)
+        mean_q = gp.mean(Xq)
+        mu_q = row_sharded_posterior_mean(
+            mesh, gp.kernel, gp.x * gp.mask[:, None],
+            gp.alpha, mean_q, Xq, axis=axis)
+
+        # (4) evaluate (synthetic objective on-device) + rank-1 update
+        y_new = jnp.sin(jnp.sum(res.x))[None]
+        gp = gp_mod.add_sample(gp, res.x, y_new)
+        return gp, res, mu_q
+
+    repl = NamedSharding(mesh, P())
+    gp = jax.device_put(gp, repl)
+    Xq = jax.device_put(Xq, repl)
+    step = jax.jit(train_step)
+    gp2, res, mu_q = step(gp, Xq, kstep)
+    jax.block_until_ready((gp2.L, res.x, mu_q))
+    assert int(gp2.n) == n + 1
+    assert mu_q.shape == (q, 1)
+    assert bool(jnp.all(jnp.isfinite(mu_q)))
