@@ -16,7 +16,7 @@ These are the TPU-native replacements for limbo's intra-process parallelism
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +56,7 @@ def sharded_restart_opt(mesh: Mesh, sub_opt, fun: Callable, init: jax.Array,
         j = jnp.argmax(vs)
         return xs[j], vs[j]
 
-    shard = jax.shard_map(shard_fn, mesh=mesh,
+    shard = jax.shard_map(shard_fn, mesh=mesh, check_vma=False,
                           in_specs=(P(axis), P(axis)),
                           out_specs=(P(), P()))
     x, v = shard(inits, keys)
@@ -65,7 +65,8 @@ def sharded_restart_opt(mesh: Mesh, sub_opt, fun: Callable, init: jax.Array,
 
 def row_sharded_posterior_mean(mesh: Mesh, kernel, x_rows: jax.Array,
                                alpha_rows: jax.Array, mean_q: jax.Array,
-                               Xq: jax.Array, axis: str = "rows") -> jax.Array:
+                               Xq: jax.Array,
+                               axis: Optional[str] = None) -> jax.Array:
     """Posterior mean over a candidate batch with training rows sharded.
 
     mu(Xq) = K(Xq, X) @ alpha + m(Xq); with X and alpha row-sharded each
@@ -75,13 +76,15 @@ def row_sharded_posterior_mean(mesh: Mesh, kernel, x_rows: jax.Array,
     x_rows: (N, d) sharded on axis 0; alpha_rows: (N, p) sharded on axis 0;
     mean_q: (q, p) replicated; Xq: (q, d) replicated.
     """
+    if axis is None:
+        axis = mesh.axis_names[0]
 
     def shard_fn(x_s, a_s, Xq_s, mq_s):
         ks = kernel.gram(Xq_s, x_s)                          # (q, N/n_dev)
         partial_mu = jnp.dot(ks, a_s, preferred_element_type=ks.dtype)
         return jax.lax.psum(partial_mu, axis) + mq_s
 
-    shard = jax.shard_map(shard_fn, mesh=mesh,
+    shard = jax.shard_map(shard_fn, mesh=mesh, check_vma=False,
                           in_specs=(P(axis, None), P(axis, None), P(), P()),
                           out_specs=P())
     return shard(x_rows, alpha_rows, Xq, mean_q)

@@ -1,0 +1,54 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed tests (SURVEY.md section 4); these cover the
+new first-class distribution layer: sharded restart fan-out, row-sharded
+posterior algebra, and the full dry-run training step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from limbo_tpu.kernels import Exp
+from limbo_tpu.means import NullMean
+from limbo_tpu.models import gp as gp_mod
+from limbo_tpu.opt import Rprop
+from limbo_tpu.parallel import (
+    make_mesh,
+    row_sharded_posterior_mean,
+    sharded_restart_opt,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 2,
+                                reason="needs multi-device mesh")
+
+
+def test_sharded_restart_opt_matches_global_opt():
+    mesh = make_mesh(8)
+    f = lambda x: -jnp.sum((x - 0.5) ** 2)
+    res = sharded_restart_opt(mesh, Rprop(iterations=60), f,
+                              jnp.zeros(2), jax.random.PRNGKey(0), True,
+                              restarts_per_device=2)
+    np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=1e-2)
+
+
+def test_row_sharded_posterior_mean_matches_single_device(rng):
+    mesh = make_mesh(8)
+    X = jnp.asarray(rng.uniform(size=(32, 2)), dtype=jnp.float32)
+    Y = jnp.asarray(rng.normal(size=(32, 1)), dtype=jnp.float32)
+    kern = Exp.create(l=0.3)
+    gp = gp_mod.fit(kern, NullMean(), X, Y, capacity=64)
+    Xq = jnp.asarray(rng.uniform(size=(8, 2)), dtype=jnp.float32)
+    mu_ref, _ = gp_mod.query(gp, Xq)
+    mu_sh = row_sharded_posterior_mean(
+        mesh, gp.kernel, gp.x * gp.mask[:, None], gp.alpha,
+        gp.mean(Xq), Xq)
+    np.testing.assert_allclose(np.asarray(mu_sh), np.asarray(mu_ref),
+                               atol=1e-4)
+
+
+def test_dryrun_multichip():
+    from limbo_tpu.parallel.dryrun import run_dryrun
+
+    run_dryrun(len(jax.devices()))
