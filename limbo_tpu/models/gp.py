@@ -247,6 +247,38 @@ def query(gp: GP, Xq: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return mu, var
 
 
+@struct.dataclass
+class QueryCache:
+    """Precomputed K^{-1} for matmul-only queries (TPU fast path).
+
+    Triangular solves serialize poorly on the MXU's systolic array; for
+    query-heavy workloads (acquisition sweeps, dense posterior dumps) it pays
+    to invert once per fit — O(N^3), same as the factorization — after which
+    every query is two matmuls at full MXU throughput:
+        var = k_diag - rowsum((ks @ Kinv) * ks).
+    Mathematically identical to the solve path (gp.hpp:618 computes the same
+    quadratic form); numerically within O(cond * eps) of it.
+    """
+
+    Kinv: jax.Array
+
+    @classmethod
+    def build(cls, gp: GP) -> "QueryCache":
+        return cls(Kinv=inv_kernel(gp))
+
+
+def query_cached(gp: GP, cache: QueryCache,
+                 Xq: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Matmul-only posterior query using a precomputed K^{-1}."""
+    Xq = jnp.atleast_2d(Xq).astype(gp.x.dtype)
+    mask = gp.mask
+    ks = gp.kernel.gram(Xq, gp.x) * mask[None, :]                    # (q, N)
+    mu = jnp.dot(ks, gp.alpha, preferred_element_type=ks.dtype) + gp.mean(Xq)
+    t = jnp.dot(ks, cache.Kinv, preferred_element_type=ks.dtype)     # (q, N)
+    var = gp.kernel.k_diag(Xq) - jnp.sum(t * ks, axis=1)
+    return mu, jnp.maximum(var, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # objectives (differentiable scalars)
 # ---------------------------------------------------------------------------

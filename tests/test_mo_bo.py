@@ -102,3 +102,33 @@ def test_bo_multi_pareto_model(rng):
     Xp, mu, var = bo.pareto_model(jax.random.PRNGKey(5))
     assert Xp.shape[1] == 1 and mu.shape[1] == 2 and var.shape[1] == 2
     assert len(Xp) >= 2
+
+
+def test_imgpo_finds_optimum():
+    from limbo_tpu.bo.imgpo import IMGPO
+
+    def f(x):
+        return -np.sum((np.asarray(x) - 0.3) ** 2)
+
+    opt = IMGPO(max_evals=40, dtype=F64)
+    opt.optimize(f, dim=2)
+    assert opt.best_value > -2e-3
+    np.testing.assert_allclose(opt.best_sample, [0.3, 0.3], atol=0.06)
+
+
+def test_config_system():
+    from limbo_tpu.config import Config
+
+    cfg = Config()
+    assert cfg.acqui_ucb.alpha == 0.5          # limbo default
+    assert cfg.stop_maxiterations.iterations == 190
+    cfg2 = cfg.override("acqui_ucb.alpha", 0.7)
+    assert cfg2.acqui_ucb.alpha == 0.7 and cfg.acqui_ucb.alpha == 0.5
+    cfg3 = Config.from_cli(["--opt_rprop.iterations=500", "--kernel.noise=0.1"])
+    assert cfg3.opt_rprop.iterations == 500
+    assert cfg3.kernel.noise == 0.1
+    assert cfg3.diff() == {"opt_rprop.iterations": 500, "kernel.noise": 0.1}
+    assert "acqui_ucb.alpha = 0.5" in cfg3.pretty()
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        cfg.override("bogus", 1)
