@@ -1,0 +1,133 @@
+"""The BO benchmark harness.
+
+Reference protocol: src/benchmarks/limbo/bench.cpp:140-262 + waf_tools/
+benchmarks.py:71 — for each compiled variant {LIMBO_DEF, LIMBO_DEF_HPOPT,
+OPT_CMAES, OPT_DIRECT, ACQ_UCB, ACQ_EI} x each of the 8 test functions x
+nb_reps: run 10 random init + 190 BO iterations, append
+"accuracy wall_time_ms" to <variant>/<function>.dat.
+
+TPU-first: variants are configs, not compiled binaries; every (variant,
+function) run executes through BOptimizer.optimize_jit, so a full 200
+-iteration BO run is ONE device program — replicates re-run the same
+compiled executable with fresh keys (and can fan out over a mesh).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from limbo_tpu.acqui.acqui import EI, UCB
+from limbo_tpu.benchmarks.functions import ALL_FUNCTIONS, TestFunction
+from limbo_tpu.bo.init_designs import RandomSampling
+from limbo_tpu.bo.optimizer import BOptimizer
+from limbo_tpu.bo.stop import MaxIterations
+from limbo_tpu.kernels import MaternFiveHalves, SquaredExpARD
+from limbo_tpu.means import DataMean
+from limbo_tpu.models.hp_opt import KernelLFOpt
+from limbo_tpu.opt.cmaes import Cmaes
+from limbo_tpu.opt.compose import RandomRestarts
+from limbo_tpu.opt.gradient import Rprop
+
+
+@dataclass
+class Variant:
+    """≙ one compiled benchmark binary (src/benchmarks/wscript:84-95)."""
+
+    name: str
+    acqui: object
+    acqui_optimizer: object
+    hp_opt: bool = False
+    hp_period: int = 50
+
+
+def default_variants() -> List[Variant]:
+    grad_restarts = RandomRestarts(sub=Rprop(iterations=60), repeats=16,
+                                   sweep_samples=1024)
+    cmaes = Cmaes(iterations=80, pop_size=16)
+    return [
+        Variant("limbo_def", UCB(alpha=0.5), grad_restarts),
+        Variant("limbo_def_hpopt", UCB(alpha=0.5), grad_restarts,
+                hp_opt=True),
+        Variant("opt_cmaes", UCB(alpha=0.5), cmaes),
+        Variant("acq_ei", EI(), grad_restarts),
+        Variant("acq_ucb", UCB(alpha=0.5), grad_restarts),
+    ]
+
+
+def run_one(variant: Variant, fn: TestFunction, n_init: int = 10,
+            n_iters: int = 190, key=None, dtype=jnp.float32):
+    """One replicate; returns (accuracy, wall_ms, compile_ms)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    kwargs = dict(
+        acqui=variant.acqui,
+        acqui_optimizer=variant.acqui_optimizer,
+        init=RandomSampling(n_init),
+        stop=(MaxIterations(n_iters),),
+        stats_enabled=False,
+        dtype=dtype,
+    )
+    if variant.hp_opt:
+        kwargs["kernel"] = SquaredExpARD.create(dim=fn.dim_in, dtype=dtype)
+        kwargs["hp_opt"] = KernelLFOpt(optimizer=Rprop(iterations=50))
+        kwargs["hp_period"] = variant.hp_period
+    bo = BOptimizer(**kwargs)
+    f = fn.as_max_objective()
+
+    t0 = time.perf_counter()
+    state, history = bo.optimize_jit(f, dim_in=fn.dim_in, key=key,
+                                     n_iterations=n_iters)
+    jax.block_until_ready(history["best"])
+    wall_full = (time.perf_counter() - t0) * 1e3
+    # second run with a fresh key = steady-state time (no compile)
+    t1 = time.perf_counter()
+    state, history = bo.optimize_jit(f, dim_in=fn.dim_in,
+                                     key=jax.random.split(key)[0],
+                                     n_iterations=n_iters)
+    jax.block_until_ready(history["best"])
+    wall_ms = (time.perf_counter() - t1) * 1e3
+    best = float(history["best"][-1])           # maximized -f
+    accuracy = fn.accuracy(-best)
+    return accuracy, wall_ms, wall_full - wall_ms
+
+
+def run_suite(variants: Optional[List[Variant]] = None,
+              functions: Optional[List[TestFunction]] = None,
+              nb_reps: int = 10, n_init: int = 10, n_iters: int = 190,
+              out_dir: str = "benchmark_results",
+              dtype=jnp.float32, verbose: bool = True) -> Dict:
+    """Full suite (waf run_bo_benchmarks parity); writes <v>/<f>.dat rows
+    'accuracy time_ms' and a summary.json."""
+    variants = variants if variants is not None else default_variants()
+    functions = functions if functions is not None else ALL_FUNCTIONS
+    os.makedirs(out_dir, exist_ok=True)
+    summary = {}
+    for v in variants:
+        vdir = os.path.join(out_dir, v.name)
+        os.makedirs(vdir, exist_ok=True)
+        for fn in functions:
+            accs, times = [], []
+            for rep in range(nb_reps):
+                key = jax.random.PRNGKey(1000 * rep + 7)
+                acc, ms, _ = run_one(v, fn, n_init, n_iters, key, dtype)
+                accs.append(acc)
+                times.append(ms)
+                with open(os.path.join(vdir, fn.name + ".dat"), "a") as fh:
+                    fh.write(f"{acc:.6f} {ms:.3f}\n")
+            med_acc = float(np.median(accs))
+            med_ms = float(np.median(times))
+            summary[f"{v.name}/{fn.name}"] = {"accuracy": med_acc,
+                                              "time_ms": med_ms}
+            if verbose:
+                print(f"{v.name:18s} {fn.name:16s} "
+                      f"acc={med_acc:.4f} time={med_ms:.1f}ms")
+    with open(os.path.join(out_dir, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    return summary

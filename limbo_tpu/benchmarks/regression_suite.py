@@ -1,0 +1,134 @@
+"""GP regression benchmark harness.
+
+Reference protocol: waf_tools/benchmarks.py:103-328 +
+waf_tools/regression_benchmarks.json — for each function x dim x
+n in {50,100,200,400,600} x replicate: sample n noisy training points
+uniformly in the native bounds, fit each model spec (GP-SE-Full-Rprop =
+SquaredExpARD + noise optimization + KernelLFOpt(Rprop 50, eps_stop 1e-2);
+GP-SE-Rprop = same without noise optimization), then measure MSE on fresh
+test points plus learning and query wall times (the reference compares these
+against GPy and libGP, docs/benchmark_res_reg.inc:3-5).
+
+TPU-first: the fit + hyperparameter optimization + 10k-point query per
+replicate is a single jitted program; replicates vary only the PRNG key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from limbo_tpu.benchmarks.regression_functions import (
+    ALL_REGRESSION,
+    RegressionFunction,
+)
+from limbo_tpu.kernels import SquaredExpARD
+from limbo_tpu.means import NullMean
+from limbo_tpu.models import gp as gp_mod
+from limbo_tpu.models.hp_opt import KernelLFOpt
+from limbo_tpu.opt.gradient import Rprop
+
+
+@dataclass
+class ModelSpec:
+    name: str
+    optimize_noise: bool
+
+
+DEFAULT_MODELS = [
+    ModelSpec("GP-SE-Full-Rprop", optimize_noise=True),
+    ModelSpec("GP-SE-Rprop", optimize_noise=False),
+]
+
+
+def _make_runner(fn: RegressionFunction, dim: int, n: int, spec: ModelSpec,
+                 n_test: int = 2048, noise_std: float = 0.01,
+                 dtype=jnp.float32):
+    bounds = fn.bounds_for_dim(dim)
+    lo = jnp.asarray(bounds[:, 0], dtype=dtype)
+    hi = jnp.asarray(bounds[:, 1], dtype=dtype)
+    f = fn.fn
+    capacity = max(64, -(-n // 64) * 64)
+
+    kern = SquaredExpARD.create(dim=dim, optimize_noise=spec.optimize_noise,
+                                dtype=dtype)
+    hp = KernelLFOpt(optimizer=Rprop(iterations=50, eps_stop=1e-2))
+
+    @jax.jit
+    def fit_fn(key):
+        kx, kn, khp = jax.random.split(key, 3)
+        U = jax.random.uniform(kx, (n, dim), dtype=dtype)
+        X = lo + U * (hi - lo)
+        Y = jax.vmap(f)(X)[:, None].astype(dtype)
+        Y = Y + noise_std * jax.random.normal(kn, Y.shape, dtype=dtype)
+        gp = gp_mod.fit(kern, NullMean(), X, Y, capacity=capacity)
+        gp = hp(gp, khp)
+        return gp
+
+    @jax.jit
+    def query_fn(gp, key):
+        U = jax.random.uniform(key, (n_test, dim), dtype=dtype)
+        Xt = lo + U * (hi - lo)
+        Yt = jax.vmap(f)(Xt)[:, None]
+        mu, var = gp_mod.query(gp, Xt)
+        mse = jnp.mean((mu - Yt) ** 2)
+        return mse, mu, var
+
+    return fit_fn, query_fn
+
+
+def run_regression_suite(functions: Optional[List[RegressionFunction]] = None,
+                         models: Optional[List[ModelSpec]] = None,
+                         points=(50, 100, 200, 400, 600), nb_reps: int = 5,
+                         out_dir: str = "regression_results",
+                         dtype=jnp.float32, verbose: bool = True) -> Dict:
+    functions = functions if functions is not None else ALL_REGRESSION
+    models = models if models is not None else DEFAULT_MODELS
+    os.makedirs(out_dir, exist_ok=True)
+    summary = {}
+    for fn in functions:
+        for dim in fn.dims:
+            for n in points:
+                for spec in models:
+                    fit_fn, query_fn = _make_runner(fn, dim, n, spec,
+                                                    dtype=dtype)
+                    mses, t_learn, t_query = [], [], []
+                    for rep in range(nb_reps):
+                        key = jax.random.PRNGKey(rep * 97 + 13)
+                        k1, k2 = jax.random.split(key)
+                        if rep == 0:                 # compile outside timing
+                            gp = fit_fn(k1)
+                            jax.block_until_ready(gp.L)
+                            out = query_fn(gp, k2)
+                            jax.block_until_ready(out[0])
+                        t0 = time.perf_counter()
+                        gp = fit_fn(k1)
+                        jax.block_until_ready(gp.L)
+                        t_learn.append(time.perf_counter() - t0)
+                        t0 = time.perf_counter()
+                        mse, mu, var = query_fn(gp, k2)
+                        jax.block_until_ready(mu)
+                        t_query.append(time.perf_counter() - t0)
+                        mses.append(float(mse))
+                    tag = f"{fn.name}_d{dim}_n{n}_{spec.name}"
+                    row = {"mse": float(np.median(mses)),
+                           "learn_ms": float(np.median(t_learn)) * 1e3,
+                           "query_ms": float(np.median(t_query)) * 1e3}
+                    summary[tag] = row
+                    with open(os.path.join(out_dir, tag + ".dat"), "a") as fh:
+                        for m, tl, tq in zip(mses, t_learn, t_query):
+                            fh.write(f"{m:.8f} {tl*1e3:.3f} {tq*1e3:.3f}\n")
+                    if verbose:
+                        print(f"{tag:50s} mse={row['mse']:.5f} "
+                              f"learn={row['learn_ms']:.1f}ms "
+                              f"query={row['query_ms']:.2f}ms")
+    with open(os.path.join(out_dir, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    return summary

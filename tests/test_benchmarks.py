@@ -1,0 +1,103 @@
+"""Benchmark suite sanity tests: function values at known optima, harness
+plumbing on tiny budgets (the full protocol runs on TPU via scripts)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from limbo_tpu.benchmarks.functions import (
+    ALL_FUNCTIONS,
+    BRANIN,
+    GOLDSTEIN_PRICE,
+    HARTMANN3,
+    HARTMANN6,
+    RASTRIGIN,
+    SIX_HUMP_CAMEL,
+    SPHERE,
+)
+from limbo_tpu.benchmarks.regression_functions import (
+    ALL_REGRESSION,
+    GRAMACY_LEE,
+    ROBOT_ARM,
+)
+
+
+@pytest.mark.parametrize("fn", ALL_FUNCTIONS, ids=lambda f: f.name)
+def test_solutions_are_optimal(fn):
+    """f at the declared solutions beats 4096 random points."""
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(4096, fn.dim_in)))
+    vals = jax.vmap(fn.fn)(X)
+    f_opt = fn.f_opt
+    assert f_opt <= float(vals.min()) + 1e-9
+
+
+def test_known_values():
+    np.testing.assert_allclose(float(SPHERE.fn(jnp.asarray([0.5, 0.5]))), 0.0,
+                               atol=1e-12)
+    np.testing.assert_allclose(RASTRIGIN.f_opt, 0.0, atol=1e-8)
+    # Hartmann3 optimum: -3.86278 (sfu.ca/~ssurjano/hart3.html)
+    np.testing.assert_allclose(HARTMANN3.f_opt, -3.86278, atol=1e-4)
+    # Hartmann6 optimum: -3.32237
+    np.testing.assert_allclose(HARTMANN6.f_opt, -3.32237, atol=1e-4)
+    # limbo's BraninNormalized drops standard Branin's +10 term:
+    # min = (0.397887 - 10 - 44.81) / 51.95  (testfunctions.hpp:305-312)
+    np.testing.assert_allclose(BRANIN.f_opt, (0.397887 - 10 - 44.81) / 51.95,
+                               atol=1e-4)
+    # SixHumpCamel global min -1.0316
+    np.testing.assert_allclose(SIX_HUMP_CAMEL.f_opt, -1.0316, atol=1e-3)
+
+
+def test_regression_function_shapes():
+    for fn in ALL_REGRESSION:
+        for d in fn.dims:
+            b = fn.bounds_for_dim(d)
+            assert b.shape == (d, 2)
+            x = jnp.asarray((b[:, 0] + b[:, 1]) / 2.0)
+            v = fn.fn(x)
+            assert np.isfinite(float(v))
+
+
+def test_gramacy_lee_value():
+    # GramacyLee at x=1: sin(10 pi)/2 + 0 = 0
+    np.testing.assert_allclose(float(GRAMACY_LEE.fn(jnp.asarray([1.0]))), 0.0,
+                               atol=1e-10)
+
+
+def test_robot_arm_range():
+    # fully folded arm with all lengths 0 -> distance 0
+    x = jnp.zeros(8)
+    np.testing.assert_allclose(float(ROBOT_ARM.fn(x)), 0.0, atol=1e-12)
+
+
+def test_bo_suite_smoke(tmp_path):
+    """Tiny-budget end-to-end run of the harness plumbing."""
+    from limbo_tpu.benchmarks.bo_suite import Variant, run_suite
+    from limbo_tpu.acqui import UCB
+    from limbo_tpu.opt import RandomRestarts, Rprop
+
+    v = Variant("smoke", UCB(0.5),
+                RandomRestarts(sub=Rprop(iterations=10), repeats=2,
+                               sweep_samples=64))
+    summary = run_suite([v], [SPHERE], nb_reps=1, n_init=4, n_iters=6,
+                        out_dir=str(tmp_path), dtype=jnp.float64,
+                        verbose=False)
+    key = "smoke/Sphere"
+    assert key in summary and np.isfinite(summary[key]["accuracy"])
+    assert (tmp_path / "smoke" / "Sphere.dat").exists()
+
+
+def test_regression_suite_smoke(tmp_path):
+    from limbo_tpu.benchmarks.regression_suite import (
+        ModelSpec,
+        run_regression_suite,
+    )
+
+    summary = run_regression_suite(
+        functions=[GRAMACY_LEE], models=[ModelSpec("smoke", False)],
+        points=(30,), nb_reps=2, out_dir=str(tmp_path), dtype=jnp.float64,
+        verbose=False)
+    tag = "GramacyLee_d1_n30_smoke"
+    assert tag in summary
+    assert summary[tag]["mse"] < 0.5
