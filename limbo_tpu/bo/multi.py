@@ -48,7 +48,8 @@ class BoMulti:
 
     def __init__(self, n_objs: int, kernel=None, mean=None, init=None,
                  stop: Sequence = None, nsga2: Optional[Nsga2] = None,
-                 stats_enabled: bool = False, dtype=jnp.float64):
+                 stats_enabled: bool = False, stats: Sequence = (),
+                 res_base_dir: Optional[str] = None, dtype=jnp.float64):
         self.n_objs = n_objs
         self.kernel = (kernel if kernel is not None
                        else MaternFiveHalves.create(dtype=dtype))
@@ -59,6 +60,11 @@ class BoMulti:
                                                            generations=30)
         self.dtype = dtype
         self.stats_enabled = stats_enabled
+        self.stats = tuple(stats)
+        from limbo_tpu.utils.sysinfo import make_res_dir
+        self.res_dir = (make_res_dir(res_base_dir)
+                        if (stats_enabled and res_base_dir is not None
+                            and stats) else None)
         self.model: Optional[multi_gp.MultiGP] = None
         self.X: list = []
         self.Y: list = []
@@ -114,6 +120,12 @@ class BoMulti:
     def _stopped(self) -> bool:
         state = dataclasses.make_dataclass("S", ["iteration"])(self.iteration)
         return any(bool(s(state)) for s in self.stop)
+
+    def _update_stats(self):
+        if not self.stats_enabled:
+            return
+        for stat in self.stats:
+            stat(self)
 
 
 class Ehvi(BoMulti):
@@ -173,6 +185,7 @@ class Ehvi(BoMulti):
             x_new = np.asarray(x_new)
             self.add_sample(x_new, self._eval_checked(f, x_new))
             self.iteration += 1
+            self._update_stats()
         self.update_models(capacity=cap)
         return self.pareto_data()
 
@@ -203,6 +216,7 @@ class Nsbo(BoMulti):
             x_new = cand[idx]
             self.add_sample(x_new, self._eval_checked(f, x_new))
             self.iteration += 1
+            self._update_stats()
         self.update_models()
         return self.pareto_data()
 

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from limbo_tpu.kernels.base import KernelMixin
+from limbo_tpu.ops.gram import matern32_gram, matern52_gram, se_gram
 from limbo_tpu.utils.maths import safe_sqrt, sq_dist
 
 _DEFAULT_LOG_NOISE = math.log(math.sqrt(0.01))  # limbo defaults::kernel::noise=0.01
@@ -57,8 +58,7 @@ class Exp(KernelMixin):
     def gram_core(self, X1: jax.Array, X2: jax.Array) -> jax.Array:
         sf2 = jnp.exp(2.0 * self.log_sigma)
         inv_l = jnp.exp(-self.log_l)
-        r = sq_dist(X1 * inv_l, X2 * inv_l)
-        return sf2 * jnp.exp(-0.5 * r)
+        return se_gram(X1 * inv_l, X2 * inv_l, sf2)
 
     def k_diag(self, X: jax.Array) -> jax.Array:
         sf2 = jnp.exp(2.0 * self.log_sigma)
@@ -112,10 +112,11 @@ class SquaredExpARD(KernelMixin):
     def gram_core(self, X1: jax.Array, X2: jax.Array) -> jax.Array:
         sf2 = jnp.exp(2.0 * self.log_sigma)
         inv_ell = jnp.exp(-self.log_ell)
-        z = sq_dist(X1 * inv_ell, X2 * inv_ell)
         if self.A.shape[1] > 0:
+            z = sq_dist(X1 * inv_ell, X2 * inv_ell)
             z = z + sq_dist(jnp.dot(X1, self.A), jnp.dot(X2, self.A))
-        return sf2 * jnp.exp(-0.5 * z)
+            return sf2 * jnp.exp(-0.5 * z)
+        return se_gram(X1 * inv_ell, X2 * inv_ell, sf2)
 
     def k_diag(self, X: jax.Array) -> jax.Array:
         sf2 = jnp.exp(2.0 * self.log_sigma)
@@ -157,9 +158,7 @@ class MaternThreeHalves(KernelMixin):
 
     def gram_core(self, X1: jax.Array, X2: jax.Array) -> jax.Array:
         sf2 = jnp.exp(2.0 * self.log_sigma)
-        d = safe_sqrt(sq_dist(X1, X2))
-        t = (math.sqrt(3.0) * jnp.exp(-self.log_l)) * d
-        return sf2 * (1.0 + t) * jnp.exp(-t)
+        return matern32_gram(X1, X2, sf2, jnp.exp(-self.log_l))
 
     def k_diag(self, X: jax.Array) -> jax.Array:
         sf2 = jnp.exp(2.0 * self.log_sigma)
@@ -198,12 +197,7 @@ class MaternFiveHalves(KernelMixin):
 
     def gram_core(self, X1: jax.Array, X2: jax.Array) -> jax.Array:
         sf2 = jnp.exp(2.0 * self.log_sigma)
-        d2 = sq_dist(X1, X2)
-        d = safe_sqrt(d2)
-        inv_l = jnp.exp(-self.log_l)
-        t = (math.sqrt(5.0) * inv_l) * d
-        quad = (5.0 / 3.0) * (inv_l * inv_l) * d2
-        return sf2 * (1.0 + t + quad) * jnp.exp(-t)
+        return matern52_gram(X1, X2, sf2, jnp.exp(-self.log_l))
 
     def k_diag(self, X: jax.Array) -> jax.Array:
         sf2 = jnp.exp(2.0 * self.log_sigma)

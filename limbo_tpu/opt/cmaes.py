@@ -50,10 +50,13 @@ class Cmaes:
         lam = self.pop_size if self.pop_size > 0 else 4 + int(3 * math.log(d + 1e-9) if d > 1 else 3)
         lam = max(lam, 4)
         mu = lam // 2
-        # recombination weights
-        w = math.log(mu + 0.5) - jnp.log(jnp.arange(1, mu + 1, dtype=jnp.float32))
-        w = (w / jnp.sum(w)).astype(dtype)
-        mueff = float(1.0 / jnp.sum(w ** 2))
+        # recombination weights (static -> host numpy, jit-safe)
+        import numpy as _np
+
+        w_np = math.log(mu + 0.5) - _np.log(_np.arange(1, mu + 1))
+        w_np = w_np / w_np.sum()
+        mueff = float(1.0 / _np.sum(w_np ** 2))
+        w = jnp.asarray(w_np, dtype=dtype)
         # adaptation constants (Hansen 2016 tutorial defaults)
         cs = (mueff + 2.0) / (d + mueff + 5.0)
         ds = 1.0 + 2.0 * max(0.0, math.sqrt((mueff - 1.0) / (d + 1.0)) - 1.0) + cs

@@ -1,0 +1,116 @@
+"""Combination-matrix test: every plug-in slot composes with every other.
+
+Reference: src/tests/create_all_combinations_test.py:8-60 generates ~1000s
+of C++ files over {kernels x means x hp-opts x acquis x acqui-opts x inits x
+stats x stops} and compiles+runs 10 BO iterations of each.  Here the slots
+are runtime values, so pytest parametrization covers the axes directly; each
+combination runs a tiny end-to-end BO.  Axes are varied one at a time
+against a fast base config (the cartesian explosion is unnecessary when
+composition is structural, but every pair {axis value, loop} is exercised).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from limbo_tpu.acqui import EI, GP_UCB, UCB
+from limbo_tpu.bo import (
+    LHS,
+    BOptimizer,
+    GridSampling,
+    MaxIterations,
+    MaxPredictedValue,
+    NoInit,
+    RandomSampling,
+    RandomSamplingGrid,
+)
+from limbo_tpu.kernels import Exp, MaternFiveHalves, MaternThreeHalves, SquaredExpARD
+from limbo_tpu.means import ConstantMean, DataMean, FunctionARD, NullMean
+from limbo_tpu.models.hp_opt import (
+    KernelLFOpt,
+    KernelLooOpt,
+    KernelMeanLFOpt,
+    MeanLFOpt,
+    NoLFOpt,
+)
+from limbo_tpu.opt import (
+    Cmaes,
+    GridSearch,
+    ParallelRepeater,
+    RandomRestarts,
+    RandomSweep,
+    Rprop,
+)
+
+F64 = jnp.float64
+
+
+def quad(x):
+    return np.array([-np.sum((np.asarray(x) - 0.4) ** 2)])
+
+
+def run_bo(**overrides):
+    kwargs = dict(
+        init=RandomSampling(4),
+        stop=(MaxIterations(2),),
+        acqui_optimizer=RandomSweep(samples=128),
+        stats_enabled=False,
+        dtype=F64,
+    )
+    kwargs.update(overrides)
+    bo = BOptimizer(**kwargs)
+    state = bo.optimize(quad, dim_in=2, key=jax.random.PRNGKey(0))
+    assert np.isfinite(state.best_value)
+    return state
+
+
+KERNELS = [Exp.create(dtype=F64), SquaredExpARD.create(dim=2, dtype=F64),
+           MaternThreeHalves.create(dtype=F64),
+           MaternFiveHalves.create(dtype=F64)]
+MEANS = [NullMean(), ConstantMean.create(0.5, dtype=F64),
+         DataMean.create(dtype=F64),
+         FunctionARD.create(ConstantMean.create(0.5, dtype=F64))]
+
+
+@pytest.mark.parametrize("kernel", KERNELS,
+                         ids=lambda k: type(k).__name__)
+@pytest.mark.parametrize("mean", MEANS, ids=lambda m: type(m).__name__)
+def test_kernel_x_mean(kernel, mean):
+    run_bo(kernel=kernel, mean=mean)
+
+
+@pytest.mark.parametrize("acqui", [UCB(), GP_UCB(), EI(jitter=0.01)],
+                         ids=lambda a: type(a).__name__)
+@pytest.mark.parametrize("opt", [
+    RandomSweep(samples=128),
+    GridSearch(bins=6),
+    RandomRestarts(sub=Rprop(iterations=15), repeats=2, sweep_samples=32),
+    ParallelRepeater(sub=Rprop(iterations=15), repeats=2),
+    Cmaes(iterations=10, pop_size=8),
+], ids=lambda o: type(o).__name__)
+def test_acqui_x_optimizer(acqui, opt):
+    run_bo(acqui=acqui, acqui_optimizer=opt)
+
+
+@pytest.mark.parametrize("init", [
+    RandomSampling(4), RandomSamplingGrid(samples=4, bins=4),
+    GridSampling(bins=2), LHS(samples=4),
+], ids=lambda i: type(i).__name__)
+def test_inits(init):
+    run_bo(init=init)
+
+
+@pytest.mark.parametrize("hp_cls", [
+    NoLFOpt, KernelLFOpt, KernelLooOpt, KernelMeanLFOpt, MeanLFOpt,
+], ids=lambda c: c.__name__)
+def test_hp_opts(hp_cls):
+    hp = (hp_cls() if hp_cls is NoLFOpt
+          else hp_cls(optimizer=Rprop(iterations=15)))
+    run_bo(kernel=SquaredExpARD.create(dim=2, dtype=F64),
+           mean=ConstantMean.create(0.5, dtype=F64),
+           hp_opt=hp, hp_period=2)
+
+
+def test_stop_max_predicted_value():
+    run_bo(stop=(MaxIterations(3), MaxPredictedValue(ratio=5.0)))
