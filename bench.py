@@ -49,18 +49,20 @@ def bench_tpu(n=4096, d=8, q=1024, iters=10):
     kernel = SquaredExpARD.create(dim=d, dtype=jnp.float32)
     mean = DataMean.create(dim_out=1, dtype=jnp.float32)
 
+    # NOTE: timing syncs via an explicit host transfer of a checksum that
+    # depends on every output — block_until_ready alone does not reliably
+    # synchronize on the tunneled TPU backend.
     @jax.jit
-    def fit_query(X, Y, Xq):
-        gp = gp_mod.fit(kernel, mean, X, Y, capacity=n)
+    def fit_query(X, Y, Xq, it):
+        gp = gp_mod.fit(kernel, mean, X + it * 1e-7, Y, capacity=n)
         mu, var = gp_mod.query(gp, Xq)
-        return mu, var
+        return jnp.sum(mu) + jnp.sum(var)
 
-    out = fit_query(X, Y, Xq)
-    jax.block_until_ready(out)            # compile + warmup
+    float(fit_query(X, Y, Xq, jnp.asarray(0.0)))      # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fit_query(X, Y, Xq)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        chk = fit_query(X, Y, Xq, jnp.asarray(float(i + 1)))
+    chk = float(chk)
     dt = (time.perf_counter() - t0) / iters
     return dt, flops(n, d, q) / dt / 1e12
 

@@ -50,7 +50,7 @@ def main(n=10000, d=8, iters=20):
     t0 = time.perf_counter()
     gp = jax.jit(lambda X, Y: gp_mod.fit(kernel, mean, X, Y,
                                          capacity=capacity))(X, Y)
-    jax.block_until_ready(gp.L)
+    float(gp.L[0, 0])   # host transfer = real sync on the tunneled backend
     print(f"initial fit (n={n}, capacity={capacity}): "
           f"{time.perf_counter()-t0:.2f}s (incl. compile)")
 
@@ -58,12 +58,12 @@ def main(n=10000, d=8, iters=20):
                            RandomRestarts(sub=Rprop(iterations=60),
                                           repeats=16, sweep_samples=1024))
     gp = bo_iter(gp, key)
-    jax.block_until_ready(gp.L)       # compile
+    float(gp.L[0, 0])                 # compile + sync
     t0 = time.perf_counter()
     for i in range(iters):
         key, k = jax.random.split(key)
         gp = bo_iter(gp, k)
-    jax.block_until_ready(gp.L)
+    float(gp.n)                       # sync the whole chain
     dt = (time.perf_counter() - t0) / iters
     print(f"bo_iter at n~{n}: {dt*1e3:.1f} ms -> {1.0/dt:.2f} iters/s")
     return 1.0 / dt

