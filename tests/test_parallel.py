@@ -52,3 +52,24 @@ def test_dryrun_multichip():
     from limbo_tpu.parallel.dryrun import run_dryrun
 
     run_dryrun(len(jax.devices()))
+
+
+def test_sharded_cg_matches_exact(rng):
+    """Row-sharded CG alpha == dense Cholesky alpha."""
+    from limbo_tpu.parallel.distributed_gp import sharded_cg_fit_alpha
+
+    mesh = make_mesh(8)
+    n, N = 30, 32
+    X = jnp.asarray(rng.uniform(size=(n, 2)), dtype=jnp.float32)
+    Y = jnp.asarray(rng.normal(size=(n, 1)), dtype=jnp.float32)
+    kern = Exp.create(l=0.3)
+    gp = gp_mod.fit(kern, NullMean(), X, Y, capacity=N)
+    mask = gp.mask
+    centered = gp.y * mask[:, None]
+    alpha = sharded_cg_fit_alpha(mesh, kern, gp.x, mask, centered,
+                                 tol=1e-6, maxiter=400)
+    # f32 CG: compare through predictions rather than raw alpha
+    Xq = jnp.asarray(rng.uniform(size=(8, 2)), dtype=jnp.float32)
+    ks = kern.gram(Xq, gp.x) * mask[None, :]
+    np.testing.assert_allclose(np.asarray(ks @ alpha),
+                               np.asarray(ks @ gp.alpha), atol=1e-3)

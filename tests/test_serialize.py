@@ -47,3 +47,33 @@ def test_load_with_recompute(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(gp2.L), np.asarray(gp.L), atol=1e-10)
     np.testing.assert_allclose(np.asarray(gp2.alpha), np.asarray(gp.alpha),
                                atol=1e-10)
+
+
+def test_bo_checkpoint_resume(tmp_path, rng):
+    """Save a BO run mid-flight, reload, and continue with reset=False
+    (limbo's optimize(reset=false) + archive combination)."""
+    import jax.numpy as jnp
+    from limbo_tpu.bo import BOptimizer, MaxIterations, RandomSampling
+    from limbo_tpu.bo.checkpoint import load_state, save_state
+    from limbo_tpu.opt import RandomSweep
+
+    def quad(x):
+        return np.array([-np.sum((np.asarray(x) - 0.3) ** 2)])
+
+    bo = BOptimizer(init=RandomSampling(4), stop=(MaxIterations(5),),
+                    acqui_optimizer=RandomSweep(samples=64),
+                    stats_enabled=False, dtype=F64)
+    state = bo.optimize(quad, dim_in=2, key=jax.random.PRNGKey(0))
+    n_before = int(state.gp.n)
+    save_state(state, str(tmp_path / "ckpt"))
+
+    template = gp_mod.empty(bo._make_gp(2, 1, state.gp.capacity).kernel,
+                            DataMean.create(dtype=F64), dim_in=2,
+                            capacity=state.gp.capacity, dtype=F64)
+    restored = load_state(template, str(tmp_path / "ckpt"))
+    assert int(restored.gp.n) == n_before
+    assert restored.total_iterations == 5
+
+    state2 = bo.optimize(quad, dim_in=2, reset=False, state=restored)
+    assert int(state2.gp.n) == n_before + 5
+    assert state2.total_iterations == 10
