@@ -74,8 +74,7 @@ def save_gp(gp: gp_mod.GP, directory: str, archive=BinaryArchive) -> None:
     """Persist every array leaf of the GP pytree, one file per leaf."""
     os.makedirs(directory, exist_ok=True)
     leaves = _flatten_with_paths(gp)
-    meta = {"leaves": [], "dtype": str(gp.x.dtype),
-            "archive": archive.__name__}
+    meta = {"leaves": [], "archive": archive.__name__}
     for i, (key, arr) in enumerate(sorted(leaves.items())):
         fname = f"leaf_{i:03d}"
         archive.write(os.path.join(directory, fname), arr)
