@@ -25,14 +25,18 @@ from limbo_tpu.opt.gradient import Rprop
 
 
 def make_bo_iter(kernel, acqui, opt):
-    def bo_iter(gp, key):
+    """Matmul-only BO iteration: UCB through the cached-K^{-1} query +
+    O(n^2) block-inverse add (no triangular solves on the hot path)."""
+
+    def bo_iter(gp, cache, key):
         def acq_fn(x):
-            return acqui(gp, x, FirstElem, 1)
+            mu, var = gp_mod.query_cached(gp, cache, x[None, :])
+            return mu[0, 0] + 0.5 * jnp.sqrt(var[0])
 
         start = jnp.full((gp.dim_in,), 0.5, dtype=gp.x.dtype)
         res = opt(acq_fn, start, key, True)
         y = jnp.sin(3.0 * jnp.sum(res.x))[None]
-        return gp_mod.add_sample(gp, res.x, y)
+        return gp_mod.add_sample_cached(gp, cache, res.x, y)
 
     return jax.jit(bo_iter)
 
@@ -54,15 +58,20 @@ def main(n=10000, d=8, iters=20):
     print(f"initial fit (n={n}, capacity={capacity}): "
           f"{time.perf_counter()-t0:.2f}s (incl. compile)")
 
+    t0 = time.perf_counter()
+    cache = jax.jit(gp_mod.QueryCache.build)(gp)
+    float(cache.Kinv[0, 0])
+    print(f"Kinv cache build: {time.perf_counter()-t0:.2f}s (incl. compile)")
+
     bo_iter = make_bo_iter(kernel, UCB(alpha=0.5),
                            RandomRestarts(sub=Rprop(iterations=60),
                                           repeats=16, sweep_samples=1024))
-    gp = bo_iter(gp, key)
+    gp, cache = bo_iter(gp, cache, key)
     float(gp.L[0, 0])                 # compile + sync
     t0 = time.perf_counter()
     for i in range(iters):
         key, k = jax.random.split(key)
-        gp = bo_iter(gp, k)
+        gp, cache = bo_iter(gp, cache, k)
     float(gp.n)                       # sync the whole chain
     dt = (time.perf_counter() - t0) / iters
     print(f"bo_iter at n~{n}: {dt*1e3:.1f} ms -> {1.0/dt:.2f} iters/s")

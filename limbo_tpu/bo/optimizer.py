@@ -69,6 +69,7 @@ class BOState:
     last_observation: Optional[np.ndarray] = None
     last_acqui_value: Optional[float] = None
     last_prediction: Optional[np.ndarray] = None
+    cache: Optional[gp_mod.QueryCache] = None
 
     # -- best-so-far (limbo best_observation/best_sample,
     #    boptimizer.hpp:174-188) --------------------------------------------
@@ -114,6 +115,7 @@ class BOptimizer:
                  bounded: bool = True,
                  stats_enabled: bool = True,
                  res_base_dir: Optional[str] = None,
+                 use_query_cache: bool = False,
                  dtype=jnp.float32):
         self.kernel = kernel
         self.mean = mean
@@ -127,6 +129,9 @@ class BOptimizer:
         self.hp_period = hp_period
         self.bounded = bounded
         self.stats_enabled = stats_enabled
+        # matmul-only large-n path: maintain K^{-1} by O(n^2) block updates
+        # and query through it (no triangular solves on the hot loop)
+        self.use_query_cache = use_query_cache
         self.dtype = dtype
         self.res_dir = (make_res_dir(res_base_dir)
                         if (stats_enabled and res_base_dir is not None
@@ -225,14 +230,24 @@ class BOptimizer:
         if self.hp_opt is not None and self._hp_jit is None:
             self._hp_jit = self._build_hp()
 
+        if self.use_query_cache and state.cache is None:
+            state.cache = jax.jit(gp_mod.QueryCache.build)(state.gp)
+
         state.key = key
         while not self._stopped(state):
             state.key, k_prop, k_hp = jax.random.split(state.key, 3)
+            model = (gp_mod.CachedGPView(state.gp, state.cache)
+                     if self.use_query_cache else state.gp)
             x_next, acq_val, mu_pred = self._propose_jit(
-                state.gp, k_prop, jnp.asarray(state.total_iterations))
+                model, k_prop, jnp.asarray(state.total_iterations))
             y = self._eval_checked(f, np.asarray(x_next))
-            state.gp = self._add(state.gp, x_next,
-                                 jnp.asarray(y, dtype=self.dtype))
+            if self.use_query_cache:
+                state.gp, state.cache = self._add_cached(
+                    state.gp, state.cache, x_next,
+                    jnp.asarray(y, dtype=self.dtype))
+            else:
+                state.gp = self._add(state.gp, x_next,
+                                     jnp.asarray(y, dtype=self.dtype))
             state.last_sample = np.asarray(x_next)
             state.last_observation = np.asarray(y)
             state.last_acqui_value = float(acq_val)
@@ -243,6 +258,8 @@ class BOptimizer:
             if (self.hp_opt is not None and self.hp_period > 0
                     and state.total_iterations % self.hp_period == 0):
                 state.gp = self._hp_jit(state.gp, k_hp)
+                if self.use_query_cache:
+                    state.cache = jax.jit(gp_mod.QueryCache.build)(state.gp)
             self._update_stats(state)
         return state
 
@@ -250,6 +267,11 @@ class BOptimizer:
         if self._add_jit is None:
             self._add_jit = jax.jit(gp_mod.add_sample)
         return self._add_jit(gp, x, y)
+
+    def _add_cached(self, gp, cache, x, y):
+        if getattr(self, "_add_cached_jit", None) is None:
+            self._add_cached_jit = jax.jit(gp_mod.add_sample_cached)
+        return self._add_cached_jit(gp, cache, x, y)
 
     def _eval_checked(self, f, x: np.ndarray) -> np.ndarray:
         y = np.atleast_1d(np.asarray(f(x), dtype=np.float64))
@@ -302,32 +324,44 @@ class BOptimizer:
                 return gp_mod.add_sample(gp, x, y), None
 
             gp, _ = jax.lax.scan(seed, gp0, (X0, Y0.astype(dtype)))
+            use_cache = self.use_query_cache
+            cache = (gp_mod.QueryCache.build(gp) if use_cache
+                     else gp_mod.QueryCache(Kinv=jnp.zeros((1, 1), dtype)))
 
             def step(carry, it):
-                gp, key = carry
+                gp, cache, key = carry
                 key, k_prop, k_hp = jax.random.split(key, 3)
                 aggregator = FirstElem
-                f_max = (acqui.best_predicted(gp, aggregator)
+                model = gp_mod.CachedGPView(gp, cache) if use_cache else gp
+                f_max = (acqui.best_predicted(model, aggregator)
                          if isinstance(acqui, EI) else None)
 
                 def acq_fn(x):
                     if isinstance(acqui, EI):
-                        return acqui(gp, x, aggregator, it, f_max=f_max)
-                    return acqui(gp, x, aggregator, it)
+                        return acqui(model, x, aggregator, it, f_max=f_max)
+                    return acqui(model, x, aggregator, it)
 
                 start = jnp.full((dim_in,), 0.5, dtype=dtype)
                 res = agg_opt(acq_fn, start, k_prop, bounded)
                 y = f(res.x).astype(dtype)
-                gp = gp_mod.add_sample(gp, res.x, y)
+                if use_cache:
+                    gp, cache = gp_mod.add_sample_cached(gp, cache, res.x, y)
+                else:
+                    gp = gp_mod.add_sample(gp, res.x, y)
                 if hp_opt is not None and hp_period > 0:
                     gp = jax.lax.cond((it + 1) % hp_period == 0,
                                       lambda g: hp_opt(g, k_hp),
                                       lambda g: g, gp)
+                    if use_cache:
+                        cache = jax.lax.cond(
+                            (it + 1) % hp_period == 0,
+                            lambda g: gp_mod.QueryCache.build(g),
+                            lambda g: cache, gp)
                 agg_y = FirstElem(y)
-                return (gp, key), (res.x, y, agg_y)
+                return (gp, cache, key), (res.x, y, agg_y)
 
-            (gp, _), (xs, ys, aggs) = jax.lax.scan(
-                step, (gp, k_loop), jnp.arange(iters))
+            (gp, _, _), (xs, ys, aggs) = jax.lax.scan(
+                step, (gp, cache, k_loop), jnp.arange(iters))
             best = jax.lax.cummax(aggs)
             return gp, xs, ys, best
 

@@ -231,12 +231,16 @@ def grow(gp: GP, new_capacity: int) -> GP:
 # posterior query
 # ---------------------------------------------------------------------------
 
-def query(gp: GP, Xq: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def query(gp, Xq: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Batched posterior moments (limbo GP::query/mu/sigma, gp.hpp:159-196).
 
     Xq: (q, d) -> (mu (q, p), sigma_sq (q,)).  sigma_sq is the latent
     (noise-free) predictive variance, clamped at 0 (gp.hpp:618-624).
+
+    Accepts a CachedGPView to route through the matmul-only fast path.
     """
+    if isinstance(gp, CachedGPView):
+        return query_cached(gp.gp, gp.cache, Xq)
     Xq = jnp.atleast_2d(Xq).astype(gp.x.dtype)
     mask = gp.mask
     ks = gp.kernel.gram(Xq, gp.x) * mask[None, :]                    # (q, N)
@@ -277,6 +281,103 @@ def query_cached(gp: GP, cache: QueryCache,
     t = jnp.dot(ks, cache.Kinv, preferred_element_type=ks.dtype)     # (q, N)
     var = gp.kernel.k_diag(Xq) - jnp.sum(t * ks, axis=1)
     return mu, jnp.maximum(var, 0.0)
+
+
+@struct.dataclass
+class CachedGPView:
+    """Duck-typed GP whose queries go through the K^{-1} cache.
+
+    Acquisition functions take this transparently (gp_mod.query dispatches),
+    so the large-n matmul-only path plugs into the whole BO stack.
+    """
+
+    gp: GP
+    cache: QueryCache
+
+    @property
+    def kernel(self):
+        return self.gp.kernel
+
+    @property
+    def mean(self):
+        return self.gp.mean
+
+    @property
+    def x(self):
+        return self.gp.x
+
+    @property
+    def y(self):
+        return self.gp.y
+
+    @property
+    def n(self):
+        return self.gp.n
+
+    @property
+    def mask(self):
+        return self.gp.mask
+
+    @property
+    def capacity(self):
+        return self.gp.capacity
+
+    @property
+    def dim_in(self):
+        return self.gp.dim_in
+
+    @property
+    def dim_out(self):
+        return self.gp.dim_out
+
+
+def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
+                      y_new: jax.Array) -> Tuple[GP, QueryCache]:
+    """add_sample + O(N^2) block-inverse update of the K^{-1} cache.
+
+    Block inversion of the bordered matrix [[K, k], [k^T, kappa]]:
+      s = kappa - k^T K^{-1} k,
+      Kinv' = [[Kinv + (Kinv k)(Kinv k)^T / s, -(Kinv k)/s],
+               [-(Kinv k)^T / s, 1/s]].
+    With the padded-identity convention (Kinv has an identity block beyond
+    n), writing row/col i = n with these values keeps the invariant exact.
+    Everything is matmul/outer work — this is the large-n BO fast path: the
+    whole iteration (acquisition sweep via query_cached + this update) stays
+    on the MXU with no triangular solves.
+    """
+    i = gp.n
+    mask = gp.mask
+    dtype = gp.x.dtype
+    x_new = jnp.asarray(x_new, dtype=dtype)
+    y_new = jnp.asarray(y_new, dtype=dtype)
+
+    k_vec = gp.kernel.gram(x_new[None, :], gp.x)[0] * mask           # (N,)
+    kappa = gp.kernel.k_diag(x_new[None, :])[0] + gp.kernel.noise + JITTER
+    u = jnp.dot(cache.Kinv, k_vec, preferred_element_type=dtype) * mask
+    s = jnp.maximum(kappa - jnp.dot(k_vec, u), JITTER)
+    N = gp.capacity
+    e_i = (jnp.arange(N) == i).astype(dtype)
+    # Kinv' core block += u u^T / s ; border row/col = -u/s ; corner = 1/s
+    Kinv = cache.Kinv + jnp.outer(u, u) / s
+    border = -u / s + 0.0 * e_i
+    Kinv = Kinv.at[i, :].set(border)
+    Kinv = Kinv.at[:, i].set(border)
+    Kinv = Kinv.at[i, i].set(1.0 / s)
+
+    # rank-1 Cholesky append without a solve: u = K^{-1}k = L^{-T}L^{-1}k
+    # implies l = L^{-1}k = L^T u (matvec), and l.l = k.u so d = sqrt(s).
+    l = jnp.dot(gp.L.T, u, preferred_element_type=dtype)
+    d = jnp.sqrt(s)
+    L = gp.L.at[i].set(l * mask + d * e_i)
+
+    x = gp.x.at[i].set(x_new)
+    y = gp.y.at[i].set(y_new)
+    gp2 = gp.replace(x=x, y=y, n=i + 1, L=L)
+    mean = prepare_mean(gp2.mean, y, gp2.mask)
+    centered = (y - mean(x)) * gp2.mask[:, None]
+    # alpha via the cached inverse (O(N^2 p) matmul, no solves)
+    alpha = jnp.dot(Kinv, centered, preferred_element_type=dtype)
+    return gp2.replace(mean=mean, alpha=alpha), QueryCache(Kinv=Kinv)
 
 
 # ---------------------------------------------------------------------------

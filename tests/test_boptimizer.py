@@ -101,3 +101,22 @@ def test_optimize_jit_with_hp_opt():
     bo = make_bo(UCB(alpha=0.5), iters=25, hp=True)
     state, history = bo.optimize_jit(f, dim_in=2, key=jax.random.PRNGKey(8))
     assert float(history["best"][-1]) > -5e-2
+
+
+@pytest.mark.parametrize("acqui", [UCB(alpha=0.5), EI()])
+def test_bo_query_cache_path(acqui):
+    """use_query_cache=True (matmul-only large-n path) matches capability."""
+    bo = make_bo(acqui, iters=30)
+    bo.use_query_cache = True
+    state = bo.optimize(quad, dim_in=2, key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(state.best_sample, [OPT_X, OPT_X], atol=0.1)
+
+
+def test_bo_query_cache_jit_path():
+    def f(x):
+        return jnp.asarray([-jnp.sum((x - OPT_X) ** 2)])
+
+    bo = make_bo(UCB(alpha=0.5), iters=25)
+    bo.use_query_cache = True
+    state, history = bo.optimize_jit(f, dim_in=2, key=jax.random.PRNGKey(9))
+    assert float(history["best"][-1]) > -1e-2

@@ -212,3 +212,36 @@ def test_identical_samples_jitter(rng):
     mu, var = gp_mod.query(gp, X)
     assert np.all(np.isfinite(np.asarray(mu)))
     assert np.all(np.isfinite(np.asarray(var)))
+
+
+def test_query_cached_matches_solve(rng):
+    X, Y = make_data(rng, n=20)
+    kern = Exp.create(l=0.3, dtype=F64)
+    gp = gp_mod.fit(kern, NullMean(), X, Y, capacity=32)
+    cache = gp_mod.QueryCache.build(gp)
+    Xq = jnp.asarray(rng.uniform(size=(9, 2)))
+    mu1, v1 = gp_mod.query(gp, Xq)
+    mu2, v2 = gp_mod.query_cached(gp, cache, Xq)
+    np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu1), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-10)
+
+
+def test_add_sample_cached_incremental(rng):
+    """Chained Kinv block updates stay exact vs a fresh batch fit."""
+    X, Y = make_data(rng, n=10)
+    kern = Exp.create(l=0.3, dtype=F64)
+    gp = gp_mod.fit(kern, NullMean(), X, Y, capacity=32)
+    cache = gp_mod.QueryCache.build(gp)
+    step = jax.jit(gp_mod.add_sample_cached)
+    for k in range(6):
+        xn = jnp.asarray(rng.uniform(size=2))
+        yn = jnp.asarray(rng.normal(size=1))
+        gp, cache = step(gp, cache, xn, yn)
+    ref = gp_mod.fit(kern, NullMean(), gp.x[:16], gp.y[:16], capacity=32)
+    Xq = jnp.asarray(rng.uniform(size=(7, 2)))
+    mu_c, v_c = gp_mod.query_cached(gp, cache, Xq)
+    mu_r, v_r = gp_mod.query(ref, Xq)
+    np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_r), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_r), atol=1e-7)
+    # L stays consistent too
+    np.testing.assert_allclose(np.asarray(gp.L), np.asarray(ref.L), atol=1e-7)
