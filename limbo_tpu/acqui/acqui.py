@@ -32,6 +32,17 @@ def MeanAggregator(mu: jax.Array) -> jax.Array:
     return jnp.mean(mu)
 
 
+def DistanceToTarget(target):
+    """Aggregator factory: -|mu - target| (the reference's example custom
+    aggregator pattern, e.g. src/examples/obs_multi.cpp)."""
+    target = jnp.asarray(target)
+
+    def agg(mu: jax.Array) -> jax.Array:
+        return -jnp.sqrt(jnp.sum((mu - target) ** 2) + 1e-12)
+
+    return agg
+
+
 def _query1(gp, x):
     mu, var = gp_mod.query(gp, x[None, :])
     return mu[0], var[0]

@@ -17,7 +17,7 @@ from limbo_tpu.ops.gram_pallas import gram_pallas
     ("se", lambda a, b, s, il: se_gram_ref(a, b, s)),
     ("matern32", matern32_gram_ref),
     ("matern52", matern52_gram_ref),
-])
+], ids=["se", "matern32", "matern52"])
 @pytest.mark.parametrize("shape", [(64, 64, 4), (300, 200, 8)])
 def test_pallas_matches_reference(form, ref, shape, rng):
     n, m, d = shape
