@@ -292,6 +292,7 @@ class BOptimizer:
     # -- the fully-jitted loop ----------------------------------------------
 
     def optimize_jit(self, f: Callable, dim_in: int, dim_out: int = 1,
+                     aggregator: Callable = FirstElem,
                      key: Optional[jax.Array] = None,
                      n_iterations: Optional[int] = None) -> Tuple[BOState, dict]:
         """Run the ENTIRE BO loop as one lax.scan on device.
@@ -331,7 +332,6 @@ class BOptimizer:
             def step(carry, it):
                 gp, cache, key = carry
                 key, k_prop, k_hp = jax.random.split(key, 3)
-                aggregator = FirstElem
                 model = gp_mod.CachedGPView(gp, cache) if use_cache else gp
                 f_max = (acqui.best_predicted(model, aggregator)
                          if isinstance(acqui, EI) else None)
@@ -357,7 +357,7 @@ class BOptimizer:
                             (it + 1) % hp_period == 0,
                             lambda g: gp_mod.QueryCache.build(g),
                             lambda g: cache, gp)
-                agg_y = FirstElem(y)
+                agg_y = aggregator(y)
                 return (gp, cache, key), (res.x, y, agg_y)
 
             (gp, _, _), (xs, ys, aggs) = jax.lax.scan(
@@ -367,6 +367,6 @@ class BOptimizer:
 
         gp, xs, ys, best = run(key)
         state = BOState(gp=gp, key=key, iteration=iters,
-                        total_iterations=iters)
+                        total_iterations=iters, aggregator=aggregator)
         history = {"samples": xs, "observations": ys, "best": best}
         return state, history
