@@ -30,12 +30,17 @@ class NoInit:
 
 @struct.dataclass
 class RandomSampling:
-    """samples uniform points (init/random_sampling.hpp:71; default 10)."""
+    """samples random points (init/random_sampling.hpp:71; default 10).
+
+    bounded=True -> U[0,1]^d; False -> N(0, 10^2) like limbo's unbounded
+    tools::random_vector (random_generator.hpp:141)."""
 
     samples: int = struct.field(pytree_node=False, default=10)
+    bounded: bool = struct.field(pytree_node=False, default=True)
 
     def __call__(self, key, dim: int, dtype=jnp.float32) -> jax.Array:
-        return random_vectors(key, self.samples, dim, dtype=dtype)
+        return random_vectors(key, self.samples, dim, bounded=self.bounded,
+                              dtype=dtype)
 
     @property
     def count(self) -> int:

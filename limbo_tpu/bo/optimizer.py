@@ -122,7 +122,8 @@ class BOptimizer:
         self.acqui = acqui if acqui is not None else UCB()
         self.acqui_optimizer = (acqui_optimizer if acqui_optimizer is not None
                                 else default_acqui_optimizer())
-        self.init = init if init is not None else RandomSampling(10)
+        self.init = (init if init is not None
+                     else RandomSampling(10, bounded=bounded))
         self.stop = tuple(stop) if stop is not None else (MaxIterations(190),)
         self.stats = tuple(stats)
         self.hp_opt = hp_opt

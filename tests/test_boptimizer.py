@@ -120,3 +120,24 @@ def test_bo_query_cache_jit_path():
     bo.use_query_cache = True
     state, history = bo.optimize_jit(f, dim_in=2, key=jax.random.PRNGKey(9))
     assert float(history["best"][-1]) > -1e-2
+
+
+def test_bo_unbounded():
+    """Unbounded search finds an optimum outside [0,1]^d
+    (limbo test_boptimizer.cpp:168 with CMA-ES unbounded)."""
+    from limbo_tpu.opt import Cmaes
+
+    def f(x):
+        return np.array([-np.sum((np.asarray(x) - 2.5) ** 2)])
+
+    bo = BOptimizer(
+        acqui=UCB(alpha=1.0),
+        acqui_optimizer=Cmaes(iterations=60, sigma0=2.0),
+        init=RandomSampling(8),
+        stop=(MaxIterations(25),),
+        bounded=False,
+        stats_enabled=False,
+        dtype=jnp.float64,
+    )
+    state = bo.optimize(f, dim_in=1, key=jax.random.PRNGKey(11))
+    np.testing.assert_allclose(state.best_sample, [2.5], atol=0.3)
