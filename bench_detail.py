@@ -10,6 +10,11 @@ One BO iteration at dataset size n (the steady-state hot loop):
 Usage: python bench_detail.py [n]
 """
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
 import sys
 import time
 

@@ -267,8 +267,33 @@ class QueryCache:
     Kinv: jax.Array
 
     @classmethod
-    def build(cls, gp: GP) -> "QueryCache":
-        return cls(Kinv=inv_kernel(gp))
+    def build(cls, gp: GP, block: int = 1024) -> "QueryCache":
+        """Blocked inversion: Linv column-panels via scanned triangular
+        solves, then Kinv = Linv^T Linv (one matmul).
+
+        XLA's one-shot triangular solve with N right-hand sides materializes
+        O(N) incremental panels (~16 GB of HLO temps at N=10240 — observed
+        OOM on v5e); scanning fixed-width panels bounds the workspace while
+        keeping all O(N^3) flops in MXU matmuls.
+        """
+        N = gp.capacity
+        block = min(block, N)
+        nb = -(-N // block)
+        Npad = nb * block
+        eye = jnp.eye(N, dtype=gp.x.dtype)
+
+        def body(_, i):
+            cols = jax.lax.dynamic_slice(eye, (0, i * block), (N, block))
+            panel = solve_triangular(gp.L, cols, lower=True)     # (N, block)
+            return None, panel.T                                  # (block, N)
+
+        _, panels = jax.lax.scan(body, None, jnp.arange(nb))
+        Linv = jnp.reshape(panels, (Npad, N))[:N]                # rows = Linv^T? no:
+        # panels[i] = (Linv @ cols_i)^T = rows i*block..(i+1)*block of Linv^T
+        # so stacked panels give Linv^T with shape (N, N); Kinv = Linv^T @ Linv
+        LinvT = Linv                                             # (N, N) = Linv^T
+        Kinv = jnp.dot(LinvT, LinvT.T, preferred_element_type=gp.x.dtype)
+        return cls(Kinv=Kinv)
 
 
 def query_cached(gp: GP, cache: QueryCache,
