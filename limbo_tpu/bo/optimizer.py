@@ -116,6 +116,7 @@ class BOptimizer:
                  stats_enabled: bool = True,
                  res_base_dir: Optional[str] = None,
                  use_query_cache: bool = False,
+                 max_model_points: Optional[int] = None,
                  dtype=jnp.float32):
         self.kernel = kernel
         self.mean = mean
@@ -133,6 +134,9 @@ class BOptimizer:
         # matmul-only large-n path: maintain K^{-1} by O(n^2) block updates
         # and query through it (no triangular solves on the hot loop)
         self.use_query_cache = use_query_cache
+        # ≙ limbo modelfun<SparsifiedGP>: cap the model's dataset by
+        # density-based sparsification (model/sparsified_gp.hpp)
+        self.max_model_points = max_model_points
         self.dtype = dtype
         self.res_dir = (make_res_dir(res_base_dir)
                         if (stats_enabled and res_base_dir is not None
@@ -246,6 +250,9 @@ class BOptimizer:
                 state.gp, state.cache = self._add_cached(
                     state.gp, state.cache, x_next,
                     jnp.asarray(y, dtype=self.dtype))
+            elif self.max_model_points is not None:
+                state.gp = self._add_sparse(state.gp, x_next,
+                                            jnp.asarray(y, dtype=self.dtype))
             else:
                 state.gp = self._add(state.gp, x_next,
                                      jnp.asarray(y, dtype=self.dtype))
@@ -273,6 +280,20 @@ class BOptimizer:
         if getattr(self, "_add_cached_jit", None) is None:
             self._add_cached_jit = jax.jit(gp_mod.add_sample_cached)
         return self._add_cached_jit(gp, cache, x, y)
+
+    def _add_sparse(self, gp, x, y):
+        from limbo_tpu.models import sparse_gp
+
+        if getattr(self, "_add_sparse_jit", None) is None:
+            mp = self.max_model_points
+
+            @jax.jit
+            def add(gp, x, y):
+                sgp = sparse_gp.SparsifiedGP(gp=gp, max_points=mp)
+                return sparse_gp.add_sample(sgp, x, y).gp
+
+            self._add_sparse_jit = add
+        return self._add_sparse_jit(gp, x, y)
 
     def _eval_checked(self, f, x: np.ndarray) -> np.ndarray:
         y = np.atleast_1d(np.asarray(f(x), dtype=np.float64))

@@ -75,6 +75,26 @@ class SparsifiedGP:
     def n(self):
         return self.gp.n
 
+    @property
+    def x(self):
+        return self.gp.x
+
+    @property
+    def y(self):
+        return self.gp.y
+
+    @property
+    def mask(self):
+        return self.gp.mask
+
+    @property
+    def dim_in(self):
+        return self.gp.dim_in
+
+    @property
+    def dim_out(self):
+        return self.gp.dim_out
+
     def query(self, Xq):
         return gp_mod.query(self.gp, Xq)
 

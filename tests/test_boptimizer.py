@@ -141,3 +141,12 @@ def test_bo_unbounded():
     )
     state = bo.optimize(f, dim_in=1, key=jax.random.PRNGKey(11))
     np.testing.assert_allclose(state.best_sample, [2.5], atol=0.3)
+
+
+def test_bo_with_sparsified_model():
+    """≙ limbo modelfun<SparsifiedGP>: model dataset stays within budget."""
+    bo = make_bo(UCB(alpha=0.5), iters=20)
+    bo.max_model_points = 15
+    state = bo.optimize(quad, dim_in=2, key=jax.random.PRNGKey(12))
+    assert int(state.gp.n) <= 15
+    np.testing.assert_allclose(state.best_sample, [OPT_X, OPT_X], atol=0.15)
