@@ -267,9 +267,12 @@ class Parego:
             lam = np.asarray(jax.random.uniform(k_lam, (self.n_objs,)))
             lam = lam / lam.sum()
             S = self._scalarize(np.stack(self.Y), lam)
+            kern = (self.bo.kernel if self.bo.kernel is not None
+                    else MaternFiveHalves.create(dtype=self.dtype))
+            mean = (self.bo.mean if self.bo.mean is not None
+                    else DataMean.create(dim_out=1, dtype=self.dtype))
             gp = gp_mod.fit(
-                self.bo.kernel or MaternFiveHalves.create(dtype=self.dtype),
-                self.bo.mean or DataMean.create(dim_out=1, dtype=self.dtype),
+                kern, mean,
                 jnp.asarray(np.stack(self.X), dtype=self.dtype),
                 jnp.asarray(S, dtype=self.dtype), capacity=capacity)
             x_new, _, _ = self.bo._propose_jit(gp, k_prop, jnp.asarray(it))
