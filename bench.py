@@ -33,9 +33,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 N_POINTS = int(os.environ.get("LIMBO_BENCH_N", 10_000))
 DIM = 8
@@ -62,11 +67,15 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
     kernel = SquaredExpARD.create(dim=d, dtype=jnp.float32)
     mean = DataMean.create(dim_out=1, dtype=jnp.float32)
 
+    t0 = time.perf_counter()
     gp = jax.jit(lambda X, Y: gp_mod.fit(kernel, mean, X, Y,
                                          capacity=capacity))(X, Y)
     float(gp.L[0, 0])
+    _log(f"fit done in {time.perf_counter()-t0:.0f}s")
+    t0 = time.perf_counter()
     cache = jax.jit(gp_mod.QueryCache.build)(gp)
     float(cache.Kinv[0, 0])
+    _log(f"cache built in {time.perf_counter()-t0:.0f}s")
 
     opt = RandomRestarts(sub=Rprop(iterations=ASCENT_STEPS),
                          repeats=RESTARTS, sweep_samples=SWEEP)
@@ -82,8 +91,10 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
         y = jnp.sin(3.0 * jnp.sum(res.x))[None]
         return gp_mod.add_sample_cached(gp, cache, res.x, y)
 
+    t0 = time.perf_counter()
     gp, cache = bo_iter(gp, cache, key)
     float(gp.L[0, 0])                     # compile + sync
+    _log(f"bo_iter compiled in {time.perf_counter()-t0:.0f}s")
     t0 = time.perf_counter()
     for _ in range(iters):
         key, k = jax.random.split(key)
@@ -133,7 +144,9 @@ def bench_numpy(n=N_POINTS, d=DIM, sample_queries=24):
 
 def main():
     iters_tpu = bench_tpu()
+    _log(f"tpu: {iters_tpu:.2f} iters/s")
     iters_np = bench_numpy()
+    _log(f"numpy baseline: {iters_np:.4f} iters/s")
     print(json.dumps({
         "metric": "bo_iterations_per_s_n10k",
         "value": round(iters_tpu, 3),
