@@ -80,8 +80,10 @@ class GP_UCB:
         d = gp.dim_in
         t = jnp.asarray(iteration, dtype=x.dtype)
         nt = jnp.power(jnp.maximum(t, 1e-10), d / 2.0 + 2.0)
-        beta = jnp.sqrt(2.0 * jnp.log(nt * (math.pi ** 2) / (3.0 * self.delta)))
-        beta = jnp.maximum(beta, 0.0)  # guard t small -> log negative
+        # clamp the log argument >= 1: limbo's formula NaNs at iteration 0
+        # (log(0) -> sqrt(-inf)); we floor beta at 0 instead
+        log_arg = jnp.maximum(nt * (math.pi ** 2) / (3.0 * self.delta), 1.0)
+        beta = jnp.sqrt(2.0 * jnp.log(log_arg))
         mu, var = _query1(gp, x)
         return aggregator(mu) + beta * jnp.sqrt(var)
 

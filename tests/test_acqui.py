@@ -91,3 +91,10 @@ def test_distance_to_target():
     v = float(agg(jnp.asarray([1.0, 2.0])))
     np.testing.assert_allclose(v, -1e-6, atol=1e-5)
     assert float(agg(jnp.asarray([3.0, 2.0]))) < -1.9
+
+
+def test_gp_ucb_finite_at_iteration_zero(rng):
+    """limbo's beta formula NaNs at t=0 (log 0); ours floors beta at 0."""
+    gp = make_gp(rng)
+    v = float(GP_UCB()(gp, jnp.asarray([0.4], dtype=F64), FirstElem, 0))
+    assert np.isfinite(v)
