@@ -116,6 +116,7 @@ class BOptimizer:
                  stats_enabled: bool = True,
                  res_base_dir: Optional[str] = None,
                  use_query_cache: bool = False,
+                 cache_refresh_period: int = 64,
                  max_model_points: Optional[int] = None,
                  dtype=jnp.float32):
         self.kernel = kernel
@@ -134,6 +135,9 @@ class BOptimizer:
         # matmul-only large-n path: maintain K^{-1} by O(n^2) block updates
         # and query through it (no triangular solves on the hot loop)
         self.use_query_cache = use_query_cache
+        # rebuild K^{-1} exactly every N cached adds (bounds f32 drift of
+        # the O(n^2) block updates over long horizons)
+        self.cache_refresh_period = cache_refresh_period
         # ≙ limbo modelfun<SparsifiedGP>: cap the model's dataset by
         # density-based sparsification (model/sparsified_gp.hpp)
         self.max_model_points = max_model_points
@@ -250,6 +254,11 @@ class BOptimizer:
                 state.gp, state.cache = self._add_cached(
                     state.gp, state.cache, x_next,
                     jnp.asarray(y, dtype=self.dtype))
+                if (self.cache_refresh_period > 0 and
+                        (state.total_iterations + 1)
+                        % self.cache_refresh_period == 0):
+                    state.gp = gp_mod.recompute(state.gp)
+                    state.cache = jax.jit(gp_mod.QueryCache.build)(state.gp)
             elif self.max_model_points is not None:
                 state.gp = self._add_sparse(state.gp, x_next,
                                             jnp.asarray(y, dtype=self.dtype))
