@@ -104,12 +104,12 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
     return 1.0 / dt
 
 
-def bench_numpy(n=N_POINTS, d=DIM, sample_queries=24):
+def bench_numpy(n=N_POINTS, d=DIM, sample_queries=8):
     """Same algorithm, NumPy f64: cached-K^{-1} queries + rank-1 update."""
     rng = np.random.default_rng(0)
     X = rng.uniform(size=(n, d))
-    A = rng.standard_normal((n, 16)) * 1e-2       # shape-realistic SPD stand-in
-    Kinv = A @ A.T + np.eye(n)                    # cost is shape-determined
+    A = rng.standard_normal((n, 16)) * 1e-2       # shape-realistic stand-in;
+    Kinv = A @ A.T                                # query cost is shape-determined
     alpha = rng.standard_normal((n, 1))
 
     def sqdist(Aq, B):
@@ -150,7 +150,7 @@ def main():
     print(json.dumps({
         "metric": "bo_iterations_per_s_n10k",
         "value": round(iters_tpu, 3),
-        "unit": "BO iters/s @ n=10k obs, d=8, 2064 posterior evals/iter, f32",
+        "unit": f"BO iters/s @ n=10k obs, d=8, {QUERIES_PER_ITER} posterior evals/iter, f32",
         "vs_baseline": round(iters_tpu / iters_np, 1),
     }))
 
