@@ -35,6 +35,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import json
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -80,7 +81,9 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
     opt = RandomRestarts(sub=Rprop(iterations=ASCENT_STEPS),
                          repeats=RESTARTS, sweep_samples=SWEEP)
 
-    @jax.jit
+    # donate gp+cache: the K^{-1}/L buffers update in place instead of
+    # copying 400 MB per iteration
+    @partial(jax.jit, donate_argnums=(0, 1))
     def bo_iter(gp, cache, key):
         def acq_fn(x):
             mu, var = gp_mod.query_cached(gp, cache, x[None, :])

@@ -293,7 +293,9 @@ class BOptimizer:
 
     def _add_cached(self, gp, cache, x, y):
         if getattr(self, "_add_cached_jit", None) is None:
-            self._add_cached_jit = jax.jit(gp_mod.add_sample_cached)
+            # donate gp+cache: K^{-1}/L update in place (no 2x n^2 copies)
+            self._add_cached_jit = jax.jit(gp_mod.add_sample_cached,
+                                           donate_argnums=(0, 1))
         return self._add_cached_jit(gp, cache, x, y)
 
     def _add_sparse(self, gp, x, y):
