@@ -61,6 +61,9 @@ def _make_runner(fn: RegressionFunction, dim: int, n: int, spec: ModelSpec,
                                 dtype=dtype)
     hp = KernelLFOpt(optimizer=Rprop(iterations=50, eps_stop=1e-2))
 
+    # the GP is fit on the unit-cube parameterization (per-dim linear input
+    # scaling — the standard normalization; native scales like Piston's
+    # P0 ~ 1e5 underflow an ell=1 SE kernel and destabilize hp-opt)
     @jax.jit
     def fit_fn(key):
         kx, kn, khp = jax.random.split(key, 3)
@@ -68,7 +71,7 @@ def _make_runner(fn: RegressionFunction, dim: int, n: int, spec: ModelSpec,
         X = lo + U * (hi - lo)
         Y = jax.vmap(f)(X)[:, None].astype(dtype)
         Y = Y + noise_std * jax.random.normal(kn, Y.shape, dtype=dtype)
-        gp = gp_mod.fit(kern, NullMean(), X, Y, capacity=capacity)
+        gp = gp_mod.fit(kern, NullMean(), U, Y, capacity=capacity)
         gp = hp(gp, khp)
         return gp
 
@@ -77,7 +80,7 @@ def _make_runner(fn: RegressionFunction, dim: int, n: int, spec: ModelSpec,
         U = jax.random.uniform(key, (n_test, dim), dtype=dtype)
         Xt = lo + U * (hi - lo)
         Yt = jax.vmap(f)(Xt)[:, None]
-        mu, var = gp_mod.query(gp, Xt)
+        mu, var = gp_mod.query(gp, U)
         mse = jnp.mean((mu - Yt) ** 2)
         return mse, mu, var
 
