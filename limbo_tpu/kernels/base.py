@@ -27,6 +27,14 @@ import jax.numpy as jnp
 JITTER = 1e-8
 
 
+def effective_jitter(dtype) -> float:
+    """Dtype-aware diagonal jitter: limbo's 1e-8 in f64; ~32*eps in f32
+    (1e-8 is below f32 resolution next to unit diagonals)."""
+    import jax.numpy as _jnp
+
+    return max(JITTER, 32 * float(_jnp.finfo(dtype).eps))
+
+
 class KernelMixin:
     """Shared behaviour for all kernels (not a dataclass itself).
 
@@ -83,8 +91,11 @@ class KernelMixin:
         """(n, n) training covariance: gram + (noise + jitter) * I.
 
         Matches limbo operator()(v1, v2, i, j) adding noise + 1e-8 when i==j
-        (kernel/kernel.hpp:81-84).
+        (kernel/kernel.hpp:81-84).  The jitter is dtype-aware: limbo's 1e-8
+        is below float32's resolution next to unit diagonals (eps ~ 1.2e-7),
+        so in f32 the floor rises to ~32*eps — without it, dense f32 kernel
+        matrices at n >= a few hundred go numerically indefinite.
         """
         K = self.gram_core(X, X)
         n = X.shape[0]
-        return K + (self.noise + JITTER) * jnp.eye(n, dtype=K.dtype)
+        return K + (self.noise + effective_jitter(K.dtype)) * jnp.eye(n, dtype=K.dtype)

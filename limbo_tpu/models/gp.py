@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from flax import struct
 from jax.scipy.linalg import solve_triangular
 
-from limbo_tpu.kernels.base import JITTER
+from limbo_tpu.kernels.base import JITTER, effective_jitter
 from limbo_tpu.means.means import prepare_mean
 from limbo_tpu.utils.maths import masked_identity_gram
 
@@ -188,7 +188,8 @@ def add_sample(gp: GP, x_new: jax.Array, y_new: jax.Array) -> GP:
 
     k_vec = gp.kernel.gram(x_new[None, :], gp.x)[0] * mask          # (N,)
     l = solve_triangular(gp.L, k_vec, lower=True)                   # (N,)
-    kxx = gp.kernel.k_diag(x_new[None, :])[0] + gp.kernel.noise + JITTER
+    kxx = (gp.kernel.k_diag(x_new[None, :])[0] + gp.kernel.noise
+           + effective_jitter(dtype))
     d2 = kxx - jnp.dot(l, l)
     d = jnp.sqrt(jnp.maximum(d2, JITTER))
 
@@ -377,7 +378,8 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
     y_new = jnp.asarray(y_new, dtype=dtype)
 
     k_vec = gp.kernel.gram(x_new[None, :], gp.x)[0] * mask           # (N,)
-    kappa = gp.kernel.k_diag(x_new[None, :])[0] + gp.kernel.noise + JITTER
+    kappa = (gp.kernel.k_diag(x_new[None, :])[0] + gp.kernel.noise
+             + effective_jitter(dtype))
     u = jnp.dot(cache.Kinv, k_vec, preferred_element_type=dtype) * mask
     s = jnp.maximum(kappa - jnp.dot(k_vec, u), JITTER)
     N = gp.capacity

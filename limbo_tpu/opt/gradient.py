@@ -24,6 +24,16 @@ from flax import struct
 from limbo_tpu.opt.base import OptResult, clip01
 
 
+def _sanitize(v, g):
+    """NaN/Inf guard: a bad objective evaluation must not poison the run
+    (limbo catches NLOpt exceptions and keeps the best-so-far,
+    opt/nlopt_base.hpp:95-109; here bad values lose and bad gradients become
+    zero steps)."""
+    v = jnp.where(jnp.isfinite(v), v, -jnp.inf)
+    g = jnp.where(jnp.isfinite(g), g, 0.0)
+    return v, g
+
+
 @struct.dataclass
 class Rprop:
     iterations: int = struct.field(pytree_node=False, default=300)
@@ -39,6 +49,7 @@ class Rprop:
         def step(carry, _):
             x, delta, grad_old, best_x, best_v, frozen = carry
             v, g = vg(x)
+            v, g = _sanitize(v, g)
             better = v > best_v
             best_x = jnp.where(better, x, best_x)
             best_v = jnp.where(better, v, best_v)
@@ -65,6 +76,7 @@ class Rprop:
             step, carry0, None, length=self.iterations)
         # final candidate also competes (limbo returns best_params)
         v_final = fun(x)
+        v_final = jnp.where(jnp.isfinite(v_final), v_final, -jnp.inf)
         better = v_final > best_v
         return OptResult(x=jnp.where(better, x, best_x),
                          value=jnp.where(better, v_final, best_v))
@@ -86,6 +98,7 @@ class Adam:
         def step(carry, t):
             x, m, v_adam, best_x, best_v = carry
             v, g = vg(x)
+            v, g = _sanitize(v, g)
             better = v > best_v
             best_x = jnp.where(better, x, best_x)
             best_v = jnp.where(better, v, best_v)
@@ -102,6 +115,7 @@ class Adam:
         (x, _, _, best_x, best_v), _ = jax.lax.scan(
             step, carry0, jnp.arange(self.iterations, dtype=init.dtype))
         v_final = fun(x)
+        v_final = jnp.where(jnp.isfinite(v_final), v_final, -jnp.inf)
         better = v_final > best_v
         return OptResult(x=jnp.where(better, x, best_x),
                          value=jnp.where(better, v_final, best_v))
@@ -123,6 +137,7 @@ class GradientAscent:
         def step(carry, _):
             x, vel, best_x, best_v = carry
             v, g = vg(x)
+            v, g = _sanitize(v, g)
             better = v > best_v
             best_x = jnp.where(better, x, best_x)
             best_v = jnp.where(better, v, best_v)
@@ -139,6 +154,7 @@ class GradientAscent:
         (x, _, best_x, best_v), _ = jax.lax.scan(
             step, carry0, None, length=self.iterations)
         v_final = fun(x)
+        v_final = jnp.where(jnp.isfinite(v_final), v_final, -jnp.inf)
         better = v_final > best_v
         return OptResult(x=jnp.where(better, x, best_x),
                          value=jnp.where(better, v_final, best_v))
