@@ -221,7 +221,10 @@ class BOptimizer:
         (limbo bo_base.hpp:249-260, boptimizer.hpp:139-141).
         """
         key = key if key is not None else jax.random.PRNGKey(0)
+        if getattr(self, "_built_aggregator", None) is not aggregator:
+            self._propose_jit = None          # rebuild for a new aggregator
         self._aggregator = aggregator
+        self._built_aggregator = aggregator
 
         if reset or state is None:
             capacity = self._capacity()
