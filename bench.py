@@ -31,6 +31,10 @@ import os
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# throughput benchmark: fast (bf16-pass) matmuls everywhere EXCEPT the
+# pairwise-distance op, which limbo_tpu pins at HIGHEST unconditionally;
+# accuracy suites run with the library default (all-HIGHEST)
+os.environ.setdefault("LIMBO_TPU_FAST_MATMUL", "1")
 
 import json
 import sys

@@ -26,7 +26,12 @@ def sq_dist(a: jax.Array, b: jax.Array) -> jax.Array:
     """
     a2 = jnp.sum(a * a, axis=-1)[:, None]
     b2 = jnp.sum(b * b, axis=-1)[None, :]
-    ab = jnp.dot(a, b.T, preferred_element_type=a.dtype)
+    # the a.b matmul MUST run at true input precision: bf16 MXU passes
+    # (TPU's DEFAULT for f32) carry ~8e-3 relative error, which swamps the
+    # |a|^2+|b|^2-2ab cancellation for nearby points and makes dense kernel
+    # matrices indefinite — this op stays HIGHEST even in fast-matmul mode
+    ab = jnp.dot(a, b.T, preferred_element_type=a.dtype,
+                 precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
 
 
