@@ -1,5 +1,7 @@
 """Run the reference BO benchmark protocol on TPU, one variant."""
 import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import sys, time
 import jax.numpy as jnp
