@@ -172,6 +172,13 @@ class Ehvi(BoMulti):
             key, k_step = jax.random.split(key)
             self.update_models(capacity=cap)
             Xp, Yp = self.pareto_data()
+            if len(Xp) > FRONT_CAP:
+                # keep an evenly spread subset along the front (sorted by
+                # first objective) rather than truncating arbitrarily
+                order = np.argsort(Yp[:, 0])
+                pick = order[np.linspace(0, len(order) - 1, FRONT_CAP)
+                             .round().astype(int)]
+                Xp, Yp = Xp[pick], Yp[pick]
             k = min(len(Xp), FRONT_CAP)
             fx = np.zeros((FRONT_CAP, dim)); fx[:k] = Xp[:k]
             fy = np.full((FRONT_CAP, 2), self.ref); fy[:k] = Yp[:k]
