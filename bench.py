@@ -49,7 +49,7 @@ def _log(msg):
 
 N_POINTS = int(os.environ.get("LIMBO_BENCH_N", 10_000))
 DIM = 8
-RESTARTS, ASCENT_STEPS, SWEEP = 64, 15, 1024
+RESTARTS, ASCENT_STEPS, SWEEP = 32, 30, 1024
 QUERIES_PER_ITER = RESTARTS * ASCENT_STEPS + SWEEP + RESTARTS
 
 

@@ -54,11 +54,12 @@ def default_acqui_optimizer():
     """Batched multi-start ascent + random sweep (DIRECT replacement).
 
     Wide-and-shallow beats deep-and-narrow on TPU: restarts are a free batch
-    axis while ascent steps serialize — 64x15 measured ~7x faster than 16x60
-    at equal evaluation budget (docs/BENCHMARKS.md), and more starts suit
-    multimodal acquisition surfaces anyway.
+    axis while ascent steps serialize (16x60 measured ~5x slower than 32x30
+    at equal evaluation budget, docs/BENCHMARKS.md).  32 restarts x 30 steps
+    balances argmax precision on small benchmark problems against
+    large-n iteration throughput.
     """
-    return RandomRestarts(sub=Rprop(iterations=15), repeats=64,
+    return RandomRestarts(sub=Rprop(iterations=30), repeats=32,
                           sweep_samples=1024)
 
 
