@@ -14,6 +14,6 @@ v = Variant("limbo_def_hpopt", UCB(alpha=0.5), default_acqui_optimizer(),
             hp_opt=True, hp_period=50)
 t0 = time.perf_counter()
 run_suite([v], [GOLDSTEIN_PRICE, SIX_HUMP_CAMEL, HARTMANN6, RASTRIGIN],
-          nb_reps=3, n_init=10, n_iters=190,
+          nb_reps=10, n_init=10, n_iters=190,
           out_dir="benchmark_results", dtype=jnp.float32, verbose=True)
 print(f"total: {time.perf_counter()-t0:.0f}s", flush=True)
