@@ -115,8 +115,9 @@ def bench_numpy(n=N_POINTS, d=DIM, sample_queries=8):
     """Same algorithm, NumPy f64: cached-K^{-1} queries + rank-1 update."""
     rng = np.random.default_rng(0)
     X = rng.uniform(size=(n, d))
-    A = rng.standard_normal((n, 16)) * 1e-2       # shape-realistic stand-in;
-    Kinv = A @ A.T                                # query cost is shape-determined
+    # stand-in with the right shape/layout: the baseline's per-query cost
+    # is the O(n^2) streaming matvec, independent of Kinv's values
+    Kinv = np.full((n, n), 1e-4)
     alpha = rng.standard_normal((n, 1))
 
     def sqdist(Aq, B):
