@@ -45,36 +45,49 @@ class ParallelRepeater:
 
 @struct.dataclass
 class RandomRestarts:
-    """Restarts from *uniform random* starting points (not perturbations) —
-    the natural acquisition-optimizer default for bounded searches, replacing
-    NLOpt DIRECT's global coverage with gradient ascent from a spread of
-    starts plus an optional dense random sweep.
+    """Global sweep + multi-start ascent — the acquisition-optimizer default,
+    replacing NLOpt DIRECT's global coverage.
+
+    With ``seed_from_sweep`` (default), a dense random sweep runs FIRST and
+    the ``repeats`` best candidates seed the gradient ascents — DIRECT-style
+    explore-then-polish, fully batched.  Otherwise starts are uniform random
+    and the sweep only competes at the end.
     """
 
     sub: object
     repeats: int = struct.field(pytree_node=False, default=16)
     sweep_samples: int = struct.field(pytree_node=False, default=0)
+    seed_from_sweep: bool = struct.field(pytree_node=False, default=True)
 
     def __call__(self, fun: Callable, init: jax.Array, key,
                  bounded: bool = True) -> OptResult:
         d = init.shape[0]
         k_init, k_sub, k_sweep = jax.random.split(key, 3)
-        inits = jax.random.uniform(k_init, (self.repeats, d), dtype=init.dtype)
-        inits = inits.at[0].set(init)   # keep the provided start as one seed
         keys = jax.random.split(k_sub, self.repeats)
+
+        sweep_x = None
+        if self.sweep_samples > 0:
+            sweep_x = jax.random.uniform(k_sweep, (self.sweep_samples, d),
+                                         dtype=init.dtype)
+            sweep_v = jax.vmap(fun)(sweep_x)
+
+        if self.seed_from_sweep and self.sweep_samples >= self.repeats:
+            _, top = jax.lax.top_k(sweep_v, self.repeats)
+            inits = sweep_x[top].at[0].set(init)
+        else:
+            inits = jax.random.uniform(k_init, (self.repeats, d),
+                                       dtype=init.dtype)
+            inits = inits.at[0].set(init)
 
         res = jax.vmap(lambda x0, k: self.sub(fun, x0, k, bounded))(inits, keys)
         i = jnp.argmax(res.value)
         best_x, best_v = res.x[i], res.value[i]
 
-        if self.sweep_samples > 0:
-            Xs = jax.random.uniform(k_sweep, (self.sweep_samples, d),
-                                    dtype=init.dtype)
-            vals = jax.vmap(fun)(Xs)
-            j = jnp.argmax(vals)
-            better = vals[j] > best_v
-            best_x = jnp.where(better, Xs[j], best_x)
-            best_v = jnp.where(better, vals[j], best_v)
+        if sweep_x is not None:
+            j = jnp.argmax(sweep_v)
+            better = sweep_v[j] > best_v
+            best_x = jnp.where(better, sweep_x[j], best_x)
+            best_v = jnp.where(better, sweep_v[j], best_v)
         return OptResult(x=best_x, value=best_v)
 
 
