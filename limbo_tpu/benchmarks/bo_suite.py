@@ -49,16 +49,17 @@ class Variant:
 
 
 def default_variants() -> List[Variant]:
-    grad_restarts = RandomRestarts(sub=Rprop(iterations=60), repeats=16,
+    # bench.cpp:60-100 benchmark Params: UCB alpha=0.125, kernel noise=1e-10
+    grad_restarts = RandomRestarts(sub=Rprop(iterations=30), repeats=32,
                                    sweep_samples=1024)
     cmaes = Cmaes(iterations=80, pop_size=16)
     return [
-        Variant("limbo_def", UCB(alpha=0.5), grad_restarts),
-        Variant("limbo_def_hpopt", UCB(alpha=0.5), grad_restarts,
+        Variant("limbo_def", UCB(alpha=0.125), grad_restarts),
+        Variant("limbo_def_hpopt", UCB(alpha=0.125), grad_restarts,
                 hp_opt=True),
-        Variant("opt_cmaes", UCB(alpha=0.5), cmaes),
+        Variant("opt_cmaes", UCB(alpha=0.125), cmaes),
         Variant("acq_ei", EI(), grad_restarts),
-        Variant("acq_ucb", UCB(alpha=0.5), grad_restarts),
+        Variant("acq_ucb", UCB(alpha=0.125), grad_restarts),
     ]
 
 
@@ -75,9 +76,14 @@ def run_one(variant: Variant, fn: TestFunction, n_init: int = 10,
         dtype=dtype,
     )
     if variant.hp_opt:
-        kwargs["kernel"] = SquaredExpARD.create(dim=fn.dim_in, dtype=dtype)
+        kwargs["kernel"] = SquaredExpARD.create(dim=fn.dim_in, noise=1e-10,
+                                                dtype=dtype)
         kwargs["hp_opt"] = KernelLFOpt(optimizer=Rprop(iterations=50))
         kwargs["hp_period"] = variant.hp_period
+    else:
+        # bench.cpp Params: near-zero noise (interpolating GP) — the
+        # benchmark functions are deterministic
+        kwargs["kernel"] = MaternFiveHalves.create(noise=1e-10, dtype=dtype)
     bo = BOptimizer(**kwargs)
     f = fn.as_max_objective()
 

@@ -10,7 +10,7 @@ from limbo_tpu.benchmarks.functions import ALL_FUNCTIONS
 from limbo_tpu.acqui import UCB
 from limbo_tpu.bo.optimizer import default_acqui_optimizer
 
-v = Variant("limbo_def", UCB(alpha=0.5), default_acqui_optimizer())
+v = Variant("limbo_def", UCB(alpha=0.125), default_acqui_optimizer())
 t0 = time.perf_counter()
 summary = run_suite([v], ALL_FUNCTIONS, nb_reps=10, n_init=10, n_iters=190,
                     out_dir="benchmark_results", dtype=jnp.float32,

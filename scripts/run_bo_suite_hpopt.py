@@ -10,7 +10,7 @@ from limbo_tpu.benchmarks.functions import (GOLDSTEIN_PRICE, HARTMANN6,
 from limbo_tpu.acqui import UCB
 from limbo_tpu.bo.optimizer import default_acqui_optimizer
 
-v = Variant("limbo_def_hpopt", UCB(alpha=0.5), default_acqui_optimizer(),
+v = Variant("limbo_def_hpopt", UCB(alpha=0.125), default_acqui_optimizer(),
             hp_opt=True, hp_period=50)
 t0 = time.perf_counter()
 run_suite([v], [GOLDSTEIN_PRICE, SIX_HUMP_CAMEL, HARTMANN6, RASTRIGIN],
