@@ -78,7 +78,9 @@ def run_one(variant: Variant, fn: TestFunction, n_init: int = 10,
     if variant.hp_opt:
         kwargs["kernel"] = SquaredExpARD.create(dim=fn.dim_in, noise=1e-10,
                                                 dtype=dtype)
-        kwargs["hp_opt"] = KernelLFOpt(optimizer=Rprop(iterations=50))
+        # bench.cpp: opt_rprop defaults (300 iterations) + eps_stop=1e-6
+        kwargs["hp_opt"] = KernelLFOpt(
+            optimizer=Rprop(iterations=300, eps_stop=1e-6))
         kwargs["hp_period"] = variant.hp_period
     else:
         # bench.cpp Params: near-zero noise (interpolating GP) — the
