@@ -102,3 +102,25 @@ def test_multi_gp_serialization_roundtrip(tmp_path, rng):
     Xq = jnp.asarray(rng.uniform(size=(5, 2)))
     for a, b in zip(multi_gp.query(m, Xq), multi_gp.query(m2, Xq)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_pareto_benchmark_stat(tmp_path):
+    from limbo_tpu.bo.mo_stats import ParetoBenchmark
+    from limbo_tpu.bo.multi import Nsbo
+    from limbo_tpu.bo.stop import MaxIterations as MI
+    from limbo_tpu.opt.nsga2 import Nsga2
+
+    def f(x):
+        v = float(np.atleast_1d(x)[0]) * 2
+        return np.array([1 - v ** 2 / 4, 1 - (v - 2) ** 2 / 4])
+
+    bo = Nsbo(n_objs=2, stop=(MI(2),), dtype=F64,
+              nsga2=Nsga2(pop_size=16, generations=4),
+              stats_enabled=True, res_base_dir=str(tmp_path),
+              stats=(ParetoBenchmark(true_fn=f),))
+    bo.optimize(f, dim=1, key=jax.random.PRNGKey(0))
+    files = os.listdir(bo.res_dir)
+    assert any(f.startswith("pareto_model_") and "real" not in f for f in files)
+    assert any(f.startswith("pareto_model_real_") for f in files)
+    assert any(f.startswith("pareto_data_") for f in files)
+    assert any(f.startswith("obs_") for f in files)
