@@ -69,8 +69,8 @@ def main(n=10000, d=8, iters=20):
     print(f"Kinv cache build: {time.perf_counter()-t0:.2f}s (incl. compile)")
 
     bo_iter = make_bo_iter(kernel, UCB(alpha=0.5),
-                           RandomRestarts(sub=Rprop(iterations=60),
-                                          repeats=16, sweep_samples=1024))
+                           RandomRestarts(sub=Rprop(iterations=30),
+                                          repeats=32, sweep_samples=1024))
     gp, cache = bo_iter(gp, cache, key)
     float(gp.L[0, 0])                 # compile + sync
     t0 = time.perf_counter()

@@ -103,3 +103,28 @@ def test_regression_suite_smoke(tmp_path):
     # GramacyLee oscillates ~10x over the domain: with a 50-iteration Rprop
     # the hp-opt basin is a lottery; just require clearly-better-than-mean
     assert summary[tag]["mse"] < 1.0
+
+
+def test_plot_tools(tmp_path):
+    """Plot helpers consume the harness .dat layouts (plot_bo_benchmarks
+    parity; Agg backend, no display)."""
+    from limbo_tpu.benchmarks.plots import (
+        load_bo_results,
+        plot_bo_benchmarks,
+        plot_regression_benchmarks,
+    )
+
+    vdir = tmp_path / "bo" / "variantA"
+    vdir.mkdir(parents=True)
+    (vdir / "Sphere.dat").write_text("0.01 120.0\n0.02 130.0\n")
+    (vdir / "Branin.dat").write_text("0.1 110.0\n0.05 115.0\n")
+    res = load_bo_results(str(tmp_path / "bo"))
+    assert res["variantA"]["Sphere"].shape == (2, 2)
+    out = plot_bo_benchmarks(str(tmp_path / "bo"))
+    assert out.endswith(".png")
+
+    rdir = tmp_path / "reg"
+    rdir.mkdir()
+    (rdir / "F_d1_n50_m.dat").write_text("0.01 12.0 1.5\n0.02 13.0 1.6\n")
+    out = plot_regression_benchmarks(str(rdir))
+    assert out.endswith(".png")
