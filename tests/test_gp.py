@@ -245,3 +245,43 @@ def test_add_sample_cached_incremental(rng):
     np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_r), atol=1e-7)
     # L stays consistent too
     np.testing.assert_allclose(np.asarray(gp.L), np.asarray(ref.L), atol=1e-7)
+
+
+def test_grow_then_cached_add(rng):
+    """Capacity growth preserves the padded-identity invariant for the
+    cached fast path too."""
+    X, Y = make_data(rng, n=8)
+    kern = Exp.create(l=0.3, dtype=F64)
+    gp = gp_mod.fit(kern, NullMean(), X, Y, capacity=16)
+    gp = gp_mod.grow(gp, 32)
+    cache = gp_mod.QueryCache.build(gp)
+    xn = jnp.asarray(rng.uniform(size=2))
+    yn = jnp.asarray(rng.normal(size=1))
+    gp2, cache2 = gp_mod.add_sample_cached(gp, cache, xn, yn)
+    ref = gp_mod.fit(kern, NullMean(), jnp.vstack([X, xn[None]]),
+                     jnp.vstack([Y, yn[None]]), capacity=32)
+    Xq = jnp.asarray(rng.uniform(size=(5, 2)))
+    mu_c, v_c = gp_mod.query_cached(gp2, cache2, Xq)
+    mu_r, v_r = gp_mod.query(ref, Xq)
+    np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_r), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_r), atol=1e-8)
+
+
+def test_multi_output_bo_with_aggregator(rng):
+    """dim_out > 1 + custom aggregator end to end through the BO loop."""
+    from limbo_tpu.acqui import DistanceToTarget, UCB
+    from limbo_tpu.bo import BOptimizer, MaxIterations, RandomSampling
+    from limbo_tpu.opt import RandomSweep
+
+    def f(x):
+        x = np.asarray(x)
+        return np.array([x[0] - 0.2, x[1] - 0.8])
+
+    bo = BOptimizer(acqui=UCB(1.0), init=RandomSampling(6),
+                    stop=(MaxIterations(15),),
+                    acqui_optimizer=RandomSweep(samples=256),
+                    stats_enabled=False, dtype=F64)
+    state = bo.optimize(f, dim_in=2, dim_out=2,
+                        aggregator=DistanceToTarget([0.0, 0.0]),
+                        key=jax.random.PRNGKey(2))
+    np.testing.assert_allclose(state.best_sample, [0.2, 0.8], atol=0.15)
