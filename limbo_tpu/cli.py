@@ -84,7 +84,11 @@ def main(argv=None):
     elif args.cmd == "params":
         from limbo_tpu.config import Config
 
-        cfg = Config.from_cli(args.overrides)
+        try:
+            cfg = Config.from_cli(args.overrides)
+        except (AttributeError, KeyError, TypeError, ValueError) as e:
+            print(f"error: bad override: {e}", file=sys.stderr)
+            sys.exit(2)
         print(cfg.pretty())
 
 
