@@ -42,9 +42,8 @@ def load_state(template_gp: gp_mod.GP, directory: str,
     gp = load_gp(template_gp, os.path.join(directory, "model"))
     with open(os.path.join(directory, "state.json")) as fh:
         meta = json.load(fh)
+    # raw uint32 key arrays work directly with jax.random APIs
     key = jnp.asarray(np.asarray(meta["key"], dtype=np.uint32))
-    if hasattr(jax.random, "wrap_key_data") and key.ndim == 1 and key.shape[0] == 2:
-        pass  # raw uint32 key arrays work directly with jax.random APIs
     from limbo_tpu.acqui.acqui import FirstElem
 
     state = BOState(gp=gp, key=key,

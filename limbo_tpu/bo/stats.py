@@ -12,26 +12,26 @@ tooling conventions carry over.
 from __future__ import annotations
 
 import os
-from typing import Optional, TextIO
 
 import numpy as np
 
 
 class StatBase:
-    """Lazy per-stat log file (stat/stat_base.hpp:72-95)."""
+    """Per-stat log file (stat/stat_base.hpp:72-95).
+
+    Unlike the reference's lazily-opened long-lived ofstream, each line is
+    appended open-write-close: stats fire once per host-loop iteration (never
+    on the device hot path), so the syscall cost is noise and no file handle
+    can leak across runs.
+    """
 
     filename = "stat.dat"
-
-    def __init__(self):
-        self._fh: Optional[TextIO] = None
 
     def _log(self, bo, line: str):
         if not bo.stats_enabled or bo.res_dir is None:
             return
-        if self._fh is None:
-            self._fh = open(os.path.join(bo.res_dir, self.filename), "a")
-        self._fh.write(line + "\n")
-        self._fh.flush()
+        with open(os.path.join(bo.res_dir, self.filename), "a") as fh:
+            fh.write(line + "\n")
 
     def __call__(self, bo, state):
         raise NotImplementedError

@@ -29,9 +29,11 @@ SLURM_TEMPLATE = """#!/bin/bash
 #SBATCH --time={wall_time}
 #SBATCH --ntasks={nb_hosts}
 #SBATCH --output={res_dir}/{name}_{rep}.log
-# TPU pod replicate: every host runs the same program; jax.distributed
-# picks up the coordinator from SLURM env (jax.distributed.initialize()).
-export JAX_COORDINATOR_ADDRESS=$(scontrol show hostnames $SLURM_JOB_NODELIST | head -n1)
+# TPU pod replicate: every host runs the same program and joins one
+# jax.distributed communicator.  limbo_tpu.parallel.multihost.initialize()
+# reads SLURM_JOB_NODELIST/SLURM_PROCID/SLURM_NTASKS (srun exports them per
+# task), so the experiment script only needs to call initialize() up top —
+# exercised by tests/test_multihost.py's 2-process loopback.
 srun python {script} {rep}
 """
 

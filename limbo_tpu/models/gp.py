@@ -40,6 +40,9 @@ from jax.scipy.linalg import solve_triangular
 
 from limbo_tpu.kernels.base import JITTER, effective_jitter
 from limbo_tpu.means.means import prepare_mean
+from limbo_tpu.ops.chol import cholesky as chol_dispatch
+from limbo_tpu.ops.chol import tri_inv as tri_inv_dispatch
+from limbo_tpu.ops.chol import _use_blocked
 from limbo_tpu.utils.maths import masked_identity_gram
 
 DEFAULT_CAPACITY = 256
@@ -154,7 +157,7 @@ def recompute(gp: GP, update_obs_mean: bool = True) -> GP:
     mean = prepare_mean(gp.mean, gp.y, mask) if update_obs_mean else gp.mean
     K = gp.kernel.gram_train(gp.x)
     K = masked_identity_gram(K, mask)
-    L = jnp.linalg.cholesky(K)
+    L = chol_dispatch(K)       # blocked-GEMM + Pallas panels at large n (ops/chol.py)
     centered = (gp.y - mean(gp.x)) * mask[:, None]
     alpha = _cho_solve(L, centered)
     return gp.replace(mean=mean, L=L, alpha=alpha)
@@ -276,8 +279,17 @@ class QueryCache:
         O(N) incremental panels (~16 GB of HLO temps at N=10240 — observed
         OOM on v5e); scanning fixed-width panels bounds the workspace while
         keeping all O(N^3) flops in MXU matmuls.
+
+        At blocked-Cholesky sizes the triangular inverse goes through the
+        GEMM-dominant `ops.chol.tri_inv_blocked` instead of XLA's
+        triangular_solve panels (same workspace bound, much faster).
         """
         N = gp.capacity
+        if _use_blocked(N, None):
+            Linv = tri_inv_dispatch(gp.L)
+            Kinv = jnp.dot(Linv.T, Linv, preferred_element_type=gp.x.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+            return cls(Kinv=Kinv)
         block = min(block, N)
         nb = -(-N // block)
         Npad = nb * block
@@ -440,7 +452,7 @@ def log_marginal_likelihood(kernel, mean, x: jax.Array, y: jax.Array,
     mask = (jnp.arange(N) < n).astype(x.dtype)
     mean = prepare_mean(mean, y, mask)
     K = masked_identity_gram(kernel.gram_train(x), mask)
-    L = jnp.linalg.cholesky(K)
+    L = chol_dispatch(K)       # differentiable (custom VJP, ops/chol.py)
     centered = (y - mean(x)) * mask[:, None]
     alpha = _cho_solve(L, centered)
     a = jnp.sum(centered * alpha)
@@ -479,7 +491,7 @@ def log_loo_cv_fn(kernel, mean, x: jax.Array, y: jax.Array,
     mask = (jnp.arange(N) < n).astype(x.dtype)
     mean = prepare_mean(mean, y, mask)
     K = masked_identity_gram(kernel.gram_train(x), mask)
-    L = jnp.linalg.cholesky(K)
+    L = chol_dispatch(K)
     centered = (y - mean(x)) * mask[:, None]
     alpha = _cho_solve(L, centered)
     Kinv = _cho_solve(L, jnp.eye(N, dtype=x.dtype))

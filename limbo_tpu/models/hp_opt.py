@@ -9,7 +9,24 @@ Here each strategy is a callable pytree `(gp, key) -> gp` whose objective is a
 differentiable scalar in the flat log-parameter vector; `jax.value_and_grad`
 inside the (scan-based) optimizer replaces the manual gradients.  The whole
 optimization — hundreds of Cholesky factorizations — is one jitted program
-on the MXU.
+on the MXU (blocked-GEMM Cholesky with a custom VJP at large n, ops/chol.py).
+
+Two robustness controls absent from the round-1 build (added after the
+benchmark suite showed hp-opt *degrading* accuracy on tightly-clustered
+problems — see docs/BENCHMARKS.md):
+
+* ``restarts``/``epsilon`` — vmapped multi-start from perturbed warm starts
+  (≙ wrapping the reference's optimizer in opt::ParallelRepeater,
+  src/limbo/opt/parallel_repeater.hpp:77: N repeats of init + U(-eps, eps),
+  keep the best).  The first restart keeps the exact warm start.
+
+* ``objective_dtype="float64"`` — evaluate the LML (and its gradient) in
+  f64 while the optimizer iterates in the GP's dtype.  The reference runs
+  entirely in f64 Eigen; with benchmark noise=1e-10 and BO's late-run
+  sample clustering, the f32 LML landscape near the jitter floor is
+  gradient-noise — this restores reference-parity conditioning exactly
+  where it matters, at the cost of a small f64 segment (n is a few hundred
+  for the benchmark suite).  Requires jax_enable_x64.
 """
 
 from __future__ import annotations
@@ -21,12 +38,63 @@ import jax.numpy as jnp
 from flax import struct
 
 from limbo_tpu.models import gp as gp_mod
-from limbo_tpu.opt.compose import ParallelRepeater
+from limbo_tpu.opt.base import OptResult
 from limbo_tpu.opt.gradient import Rprop
 
 
 def _default_opt():
     return Rprop(iterations=300)
+
+
+def _cast_floats(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a, tree)
+
+
+def _multi_start(objective: Callable, init: jax.Array, optimizer, key,
+                 restarts: int, epsilon: float) -> OptResult:
+    """Vmapped perturbed-restart wrapper (opt/parallel_repeater.hpp:77)."""
+    if restarts <= 1:
+        return optimizer(objective, init, key, bounded=False)
+    k_pert, *k_runs = jax.random.split(key, restarts + 1)
+    pert = jax.random.uniform(k_pert, (restarts, init.shape[0]),
+                              dtype=init.dtype, minval=-epsilon,
+                              maxval=epsilon)
+    pert = pert.at[0].set(0.0)                  # restart 0 = exact warm start
+    inits = init[None, :] + pert
+    keys = jnp.stack(k_runs)
+    res = jax.vmap(lambda i, k: optimizer(objective, i, k, bounded=False))(
+        inits, keys)
+    best = jnp.argmax(res.value)
+    return OptResult(x=res.x[best], value=res.value[best])
+
+
+class _HPOptMixin:
+    """Shared machinery: dtype-lifted objective + multi-start driver."""
+
+    def _run(self, gp: gp_mod.GP, key, make_objective, init: jax.Array):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        od = (jnp.dtype(self.objective_dtype)
+              if self.objective_dtype is not None else None)
+        if od is not None:
+            inner = make_objective(od)
+            dtype = init.dtype
+
+            def objective(p):
+                return inner(p.astype(od)).astype(dtype)
+        else:
+            objective = make_objective(None)
+        return _multi_start(objective, init, self.optimizer, key,
+                            self.restarts, self.epsilon)
+
+    def _lifted(self, gp: gp_mod.GP, od):
+        """(kernel, mean, x, y) possibly cast to the objective dtype."""
+        if od is None:
+            return gp.kernel, gp.mean, gp.x, gp.y
+        return (_cast_floats(gp.kernel, od), _cast_floats(gp.mean, od),
+                gp.x.astype(od), gp.y.astype(od))
 
 
 @struct.dataclass
@@ -38,79 +106,107 @@ class NoLFOpt:
 
 
 @struct.dataclass
-class KernelLFOpt:
+class KernelLFOpt(_HPOptMixin):
     """Max log-marginal-likelihood over kernel params (kernel_lf_opt.hpp:57)."""
 
     optimizer: object = struct.field(default_factory=_default_opt)
+    restarts: int = struct.field(pytree_node=False, default=1)
+    epsilon: float = struct.field(pytree_node=False, default=0.5)
+    objective_dtype: Optional[str] = struct.field(pytree_node=False,
+                                                  default=None)
 
     def __call__(self, gp: gp_mod.GP, key=None) -> gp_mod.GP:
-        key = key if key is not None else jax.random.PRNGKey(0)
+        def make_objective(od):
+            kernel, mean, x, y = self._lifted(gp, od)
 
-        def objective(p):
-            return gp_mod.log_marginal_likelihood(
-                gp.kernel.with_params(p), gp.mean, gp.x, gp.y, gp.n)
+            def objective(p):
+                return gp_mod.log_marginal_likelihood(
+                    kernel.with_params(p), mean, x, y, gp.n)
 
-        init = gp.kernel.params
-        res = self.optimizer(objective, init, key, bounded=False)
+            return objective
+
+        res = self._run(gp, key, make_objective, gp.kernel.params)
         return gp_mod.recompute(
             gp.replace(kernel=gp.kernel.with_params(res.x)))
 
 
 @struct.dataclass
-class KernelLooOpt:
+class KernelLooOpt(_HPOptMixin):
     """Max LOO-CV log prob over kernel params (kernel_loo_opt.hpp:57)."""
 
     optimizer: object = struct.field(default_factory=_default_opt)
+    restarts: int = struct.field(pytree_node=False, default=1)
+    epsilon: float = struct.field(pytree_node=False, default=0.5)
+    objective_dtype: Optional[str] = struct.field(pytree_node=False,
+                                                  default=None)
 
     def __call__(self, gp: gp_mod.GP, key=None) -> gp_mod.GP:
-        key = key if key is not None else jax.random.PRNGKey(0)
+        def make_objective(od):
+            kernel, mean, x, y = self._lifted(gp, od)
 
-        def objective(p):
-            return gp_mod.log_loo_cv_fn(
-                gp.kernel.with_params(p), gp.mean, gp.x, gp.y, gp.n)
+            def objective(p):
+                return gp_mod.log_loo_cv_fn(
+                    kernel.with_params(p), mean, x, y, gp.n)
 
-        res = self.optimizer(objective, gp.kernel.params, key, bounded=False)
+            return objective
+
+        res = self._run(gp, key, make_objective, gp.kernel.params)
         return gp_mod.recompute(
             gp.replace(kernel=gp.kernel.with_params(res.x)))
 
 
 @struct.dataclass
-class KernelMeanLFOpt:
+class KernelMeanLFOpt(_HPOptMixin):
     """Joint kernel+mean LML optimization (kernel_mean_lf_opt.hpp:57).
 
     Parameter vector = [kernel params, mean params] (limbo order).
     """
 
     optimizer: object = struct.field(default_factory=_default_opt)
+    restarts: int = struct.field(pytree_node=False, default=1)
+    epsilon: float = struct.field(pytree_node=False, default=0.5)
+    objective_dtype: Optional[str] = struct.field(pytree_node=False,
+                                                  default=None)
 
     def __call__(self, gp: gp_mod.GP, key=None) -> gp_mod.GP:
-        key = key if key is not None else jax.random.PRNGKey(0)
         nk = gp.kernel.params_size
 
-        def objective(p):
-            k = gp.kernel.with_params(p[:nk])
-            m = gp.mean.with_params(p[nk:])
-            return gp_mod.log_marginal_likelihood(k, m, gp.x, gp.y, gp.n)
+        def make_objective(od):
+            kernel, mean, x, y = self._lifted(gp, od)
+
+            def objective(p):
+                k = kernel.with_params(p[:nk])
+                m = mean.with_params(p[nk:])
+                return gp_mod.log_marginal_likelihood(k, m, x, y, gp.n)
+
+            return objective
 
         init = jnp.concatenate([gp.kernel.params, gp.mean.params])
-        res = self.optimizer(objective, init, key, bounded=False)
+        res = self._run(gp, key, make_objective, init)
         return gp_mod.recompute(gp.replace(
             kernel=gp.kernel.with_params(res.x[:nk]),
             mean=gp.mean.with_params(res.x[nk:])))
 
 
 @struct.dataclass
-class MeanLFOpt:
+class MeanLFOpt(_HPOptMixin):
     """LML optimization over mean params only (mean_lf_opt.hpp:57)."""
 
     optimizer: object = struct.field(default_factory=_default_opt)
+    restarts: int = struct.field(pytree_node=False, default=1)
+    epsilon: float = struct.field(pytree_node=False, default=0.5)
+    objective_dtype: Optional[str] = struct.field(pytree_node=False,
+                                                  default=None)
 
     def __call__(self, gp: gp_mod.GP, key=None) -> gp_mod.GP:
-        key = key if key is not None else jax.random.PRNGKey(0)
+        def make_objective(od):
+            kernel, mean, x, y = self._lifted(gp, od)
 
-        def objective(p):
-            return gp_mod.log_marginal_likelihood(
-                gp.kernel, gp.mean.with_params(p), gp.x, gp.y, gp.n)
+            def objective(p):
+                return gp_mod.log_marginal_likelihood(
+                    kernel, mean.with_params(p), x, y, gp.n)
 
-        res = self.optimizer(objective, gp.mean.params, key, bounded=False)
+            return objective
+
+        res = self._run(gp, key, make_objective, gp.mean.params)
         return gp_mod.recompute(gp.replace(mean=gp.mean.with_params(res.x)))

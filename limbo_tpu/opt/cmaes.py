@@ -47,7 +47,9 @@ class Cmaes:
                  bounded: bool = True) -> OptResult:
         d = init.shape[0]
         dtype = init.dtype
-        lam = self.pop_size if self.pop_size > 0 else 4 + int(3 * math.log(d + 1e-9) if d > 1 else 3)
+        # Hansen's default: lambda = 4 + floor(3 ln d)  (= 4 at d=1)
+        lam = (self.pop_size if self.pop_size > 0
+               else 4 + int(3 * math.log(d)) if d > 1 else 4)
         lam = max(lam, 4)
         mu = lam // 2
         # recombination weights (static -> host numpy, jit-safe)

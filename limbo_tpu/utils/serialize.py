@@ -66,6 +66,8 @@ class TextArchive:
         with open(path + TextArchive.suffix) as fh:
             header = fh.readline().lstrip("# ").strip()
         shape = tuple(json.loads(header)["shape"])
+        if int(np.prod(shape)) == 0:      # loadtxt warns on empty payloads
+            return np.zeros(shape)
         a = np.loadtxt(path + TextArchive.suffix)
         return np.reshape(a, shape)
 

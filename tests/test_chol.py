@@ -1,0 +1,120 @@
+"""Blocked Cholesky / triangular inverse: agreement with the stock path.
+
+Mirrors the reference's factorization-equivalence tests
+(src/tests/test_gp.cpp:568 test_gp_bw_inversion checks incremental vs batch
+Cholesky; here the blocked-GEMM+Pallas path must agree with XLA's LLT).
+The Pallas panel kernel runs in interpreter mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from limbo_tpu.ops.chol import (cholesky, cholesky_blocked, panel_factor,
+                                tri_inv, tri_inv_blocked)
+
+
+def _spd(rng, n, dtype=np.float64, jitter=3.0):
+    A = rng.standard_normal((n, n))
+    return (A @ A.T / n + jitter * np.eye(n)).astype(dtype)
+
+
+@pytest.mark.parametrize("n,block", [(64, 32), (256, 64), (300, 64)])
+def test_blocked_matches_stock_f64(rng, n, block):
+    K = jnp.asarray(_spd(rng, n))
+    Lref = np.linalg.cholesky(np.asarray(K))
+    L = np.asarray(cholesky_blocked(K, block=block))
+    np.testing.assert_allclose(L, Lref, atol=1e-12)
+
+
+def test_blocked_f32_reconstruction(rng):
+    K = jnp.asarray(_spd(rng, 256, dtype=np.float32))
+    L = np.asarray(cholesky_blocked(K, block=64))
+    # reconstruction error at f32 roundoff scale
+    err = np.abs(L @ L.T - np.asarray(K)).max()
+    assert err < 1e-5
+    # strictly lower-triangular + positive diagonal
+    assert np.all(np.triu(L, 1) == 0.0)
+    assert np.all(np.diag(L) > 0)
+
+
+def test_panel_factor_inverse(rng):
+    D = jnp.asarray(_spd(rng, 64))
+    L11, L11inv = panel_factor(D)
+    np.testing.assert_allclose(np.asarray(L11) @ np.asarray(L11).T,
+                               np.asarray(D), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(L11inv) @ np.asarray(L11),
+                               np.eye(64), atol=1e-12)
+
+
+@pytest.mark.parametrize("n,block", [(256, 64), (200, 64)])
+def test_tri_inv_blocked(rng, n, block):
+    K = _spd(rng, n)
+    L = jnp.asarray(np.linalg.cholesky(K))
+    Linv = np.asarray(tri_inv_blocked(L, block=block))
+    np.testing.assert_allclose(Linv @ np.asarray(L), np.eye(n), atol=1e-11)
+    # Kinv = Linv^T Linv matches direct inverse
+    Kinv = Linv.T @ Linv
+    np.testing.assert_allclose(Kinv @ K, np.eye(n), atol=1e-9)
+
+
+def test_dispatch_small_uses_stock(rng):
+    K = jnp.asarray(_spd(rng, 128))
+    np.testing.assert_allclose(np.asarray(cholesky(K)),
+                               np.linalg.cholesky(np.asarray(K)), atol=1e-12)
+    L = jnp.asarray(np.linalg.cholesky(_spd(rng, 128)))
+    np.testing.assert_allclose(np.asarray(tri_inv(L)) @ np.asarray(L),
+                               np.eye(128), atol=1e-11)
+
+
+def test_custom_vjp_matches_stock(rng):
+    """The blocked path's pullback must equal XLA's Cholesky gradient —
+    hp-opt (jax.grad of the LML) differentiates through this."""
+    K = jnp.asarray(_spd(rng, 48))
+    f_stock = lambda M: jnp.sum(jnp.sin(jnp.linalg.cholesky(M)))
+    f_ours = lambda M: jnp.sum(jnp.sin(cholesky(M)))
+    g1 = jax.grad(f_stock)(K)
+    g2 = jax.grad(f_ours)(K)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-12)
+
+
+def test_vjp_through_blocked_large_path(rng):
+    """Force the blocked implementation (min_blocked=0 equivalent: call
+    cholesky_blocked inside a custom-vjp-free composition is not the shipped
+    path; instead check grad of the dispatch entry on a padded-size input
+    against finite differences)."""
+    n = 96
+    K0 = _spd(rng, n)
+
+    def loss_np(theta):
+        K = K0 + theta * np.eye(n)
+        L = np.linalg.cholesky(K)
+        return 2.0 * np.sum(np.log(np.diag(L)))   # logdet
+
+    def loss_jax(theta):
+        K = jnp.asarray(K0) + theta * jnp.eye(n)
+        L = cholesky(K, 32, 0)  # force custom-vjp path with blocked=always
+        return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    g = float(jax.grad(loss_jax)(jnp.asarray(0.5)))
+    eps = 1e-6
+    fd = (loss_np(0.5 + eps) - loss_np(0.5 - eps)) / (2 * eps)
+    assert abs(g - fd) < 1e-5
+
+
+def test_jit_and_scan_safe(rng):
+    """cholesky() must compose under jit/scan (the BO loop scans over it)."""
+    K = jnp.asarray(_spd(rng, 64, dtype=np.float32))
+
+    @jax.jit
+    def run(K):
+        def body(c, _):
+            L = cholesky(c)
+            return c, jnp.sum(jnp.diagonal(L))
+        _, vals = jax.lax.scan(body, K, None, length=3)
+        return vals
+
+    vals = np.asarray(run(K))
+    assert np.all(np.isfinite(vals))
+    assert np.allclose(vals, vals[0])
