@@ -15,17 +15,19 @@ from flax import struct
 
 from limbo_tpu.acqui.acqui import FirstElem
 from limbo_tpu.models import multi_gp
-from limbo_tpu.ops.ehvi import ehvi_2d_max
+from limbo_tpu.ops.ehvi import ehvi_max
 
 
 @struct.dataclass
 class EhviAcqui:
-    """Exact 2-D EHVI acquisition over a MultiGP
+    """Exact EHVI acquisition over a MultiGP, 2 or 3 objectives
     (experimental/acqui/ehvi.hpp:59, which calls the native ehvi2d; here the
-    closed form runs fused on device and is differentiable through query).
+    closed-form box decomposition runs fused on device — incl. the exact
+    3-D scheme replacing src/ehvi/ehvi_sliceupdate.cc — and is
+    differentiable through query).
 
-    front: (k, 2) observed Pareto front (padded; front_mask marks validity),
-    ref: (2,) reference point.
+    front: (k, p) observed Pareto front (padded; front_mask marks validity),
+    ref: (p,) reference point.
     """
 
     front: jax.Array
@@ -36,8 +38,8 @@ class EhviAcqui:
                  aggregator=FirstElem, iteration=0) -> jax.Array:
         mu, var = multi_gp.query(model, x[None, :])
         sigma = jnp.sqrt(jnp.maximum(var[0], 1e-20))
-        return ehvi_2d_max(mu[0], sigma, self.front, self.ref,
-                           front_mask=self.front_mask)
+        return ehvi_max(mu[0], sigma, self.front, self.ref,
+                        front_mask=self.front_mask)
 
 
 @struct.dataclass

@@ -39,7 +39,7 @@ from limbo_tpu.models import gp as gp_mod
 from limbo_tpu.models import multi_gp
 from limbo_tpu.opt.gradient import Rprop
 from limbo_tpu.opt.nsga2 import Nsga2
-from limbo_tpu.ops.ehvi import ehvi_2d_max
+from limbo_tpu.ops.ehvi import ehvi_max
 from limbo_tpu.ops.pareto import non_dominated_mask
 
 
@@ -129,11 +129,15 @@ class BoMulti:
 
 
 class Ehvi(BoMulti):
-    """2-objective expected-hypervolume-improvement BO (limbo Ehvi)."""
+    """Expected-hypervolume-improvement BO (limbo Ehvi, ehvi.hpp:82).
+
+    2 or 3 objectives (n_objs = len(ref)): exact EHVI via the device box
+    decomposition (ops/ehvi.py) — the 3-objective path replaces the
+    reference's O(n^3) slice-update scheme (src/ehvi/ehvi_sliceupdate.cc)."""
 
     def __init__(self, ref: Sequence[float] = (0.0, 0.0),
                  inner_opt=None, **kw):
-        super().__init__(n_objs=2, **kw)
+        super().__init__(n_objs=len(ref), **kw)
         self.ref = np.asarray(ref, dtype=np.float64)
         self.inner_opt = (inner_opt if inner_opt is not None
                           else Rprop(iterations=50))
@@ -148,8 +152,8 @@ class Ehvi(BoMulti):
             def acq(x):
                 mu, var = multi_gp.query(model, x[None, :])
                 sigma = jnp.sqrt(jnp.maximum(var[0], 1e-20))
-                return ehvi_2d_max(mu[0], sigma, front_y, ref,
-                                   front_mask=front_mask)
+                return ehvi_max(mu[0], sigma, front_y, ref,
+                                front_mask=front_mask)
 
             keys = jax.random.split(key, front_x.shape[0])
             res = jax.vmap(lambda x0, k: inner(acq, x0, k, True))(
@@ -181,7 +185,7 @@ class Ehvi(BoMulti):
                 Xp, Yp = Xp[pick], Yp[pick]
             k = min(len(Xp), FRONT_CAP)
             fx = np.zeros((FRONT_CAP, dim)); fx[:k] = Xp[:k]
-            fy = np.full((FRONT_CAP, 2), self.ref); fy[:k] = Yp[:k]
+            fy = np.full((FRONT_CAP, self.n_objs), self.ref); fy[:k] = Yp[:k]
             fm = np.zeros(FRONT_CAP); fm[:k] = 1.0
             if self._step_jit is None:
                 self._step_jit = self._build_step(FRONT_CAP)

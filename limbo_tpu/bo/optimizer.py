@@ -125,6 +125,9 @@ class BOptimizer:
                  use_query_cache: bool = False,
                  cache_refresh_period: int = 64,
                  max_model_points: Optional[int] = None,
+                 model_type: str = "gp",
+                 model_options: Optional[dict] = None,
+                 model_refit_period: int = 1,
                  dtype=jnp.float32):
         self.kernel = kernel
         self.mean = mean
@@ -148,6 +151,16 @@ class BOptimizer:
         # ≙ limbo modelfun<SparsifiedGP>: cap the model's dataset by
         # density-based sparsification (model/sparsified_gp.hpp)
         self.max_model_points = max_model_points
+        # ≙ limbo modelfun<...> genericity (bo_base.hpp:113): the BO loop
+        # accepts any model family.  "gp" (exact, rank-1 updates), "spgp"
+        # (FITC pseudo-inputs, experimental/model/spgp.hpp) or "iterative"
+        # (CG, no Cholesky — the very-large-n option).
+        if model_type not in ("gp", "spgp", "iterative"):
+            raise ValueError(f"unknown model_type {model_type!r}")
+        self.model_type = model_type
+        self.model_options = dict(model_options or {})
+        # cadence of full re-solves for models without incremental updates
+        self.model_refit_period = model_refit_period
         self.dtype = dtype
         self.res_dir = (make_res_dir(res_base_dir)
                         if (stats_enabled and res_base_dir is not None
@@ -166,6 +179,39 @@ class BOptimizer:
         return gp_mod.empty(kernel, mean, dim_in, dim_out, capacity,
                             dtype=self.dtype)
 
+    def _make_model(self, dim_in: int, dim_out: int, capacity: int, key):
+        if self.model_type == "gp":
+            return self._make_gp(dim_in, dim_out, capacity)
+        kernel = (self.kernel if self.kernel is not None
+                  else MaternFiveHalves.create(dtype=self.dtype))
+        mean = (self.mean if self.mean is not None
+                else DataMean.create(dim_out=dim_out, dtype=self.dtype))
+        if self.model_type == "spgp":
+            from limbo_tpu.models import spgp
+
+            m = self.model_options.get("m", 16)
+            return spgp.empty(kernel, mean, dim_in, dim_out, m=m,
+                              capacity=capacity, dtype=self.dtype, key=key)
+        from limbo_tpu.models import iterative
+
+        return iterative.empty(
+            kernel, mean, dim_in, dim_out, capacity=capacity,
+            dtype=self.dtype,
+            block=self.model_options.get("block", 2048),
+            cg_tol=self.model_options.get("cg_tol", 1e-5),
+            cg_maxiter=self.model_options.get("cg_maxiter", 256))
+
+    def _refit_model(self, model):
+        """Full re-solve for models with stale caches (IterativeGP's CG
+        alpha).  SPGP/exact-GP are consistent after add_sample."""
+        if self.model_type == "iterative":
+            from limbo_tpu.models import iterative
+
+            if getattr(self, "_refit_jit", None) is None:
+                self._refit_jit = jax.jit(iterative.refit)
+            return self._refit_jit(model)
+        return model
+
     def _max_iterations(self) -> int:
         for s in self.stop:
             if isinstance(s, MaxIterations):
@@ -173,8 +219,14 @@ class BOptimizer:
         return 190
 
     def _capacity(self, extra: int = 0) -> int:
+        """Padded buffer size, bucketed so near-miss configurations share
+        compiled programs (capacity is baked into every XLA program shape;
+        64-granularity made 190- vs 200-iteration suites compile twice for
+        nothing).  Buckets: multiples of 256 up to 2048, then 1024."""
         need = self.init.count + self._max_iterations() + extra + 1
-        return max(64, -(-need // 64) * 64)
+        if need <= 2048:
+            return max(256, -(-need // 256) * 256)
+        return -(-need // 1024) * 1024
 
     # -- jitted pieces -------------------------------------------------------
 
@@ -195,7 +247,9 @@ class BOptimizer:
 
             start = jnp.full((gp.dim_in,), 0.5, dtype=gp.x.dtype)
             res = agg_opt(acq_fn, start, key, bounded)
-            mu_pred, _ = gp_mod.query(gp, res.x[None, :])
+            from limbo_tpu.models.dispatch import query_any
+
+            mu_pred, _ = query_any(gp, res.x[None, :])
             return res.x, res.value, mu_pred[0]
 
         return propose
@@ -229,7 +283,8 @@ class BOptimizer:
 
         if reset or state is None:
             capacity = self._capacity()
-            gp = self._make_gp(dim_in, dim_out, capacity)
+            key, k_model = jax.random.split(key)
+            gp = self._make_model(dim_in, dim_out, capacity, k_model)
             state = BOState(gp=gp, key=key, aggregator=aggregator)
             # ---- init design (bo_base.hpp:249, init/*.hpp) ----
             key, k_init = jax.random.split(key)
@@ -238,6 +293,7 @@ class BOptimizer:
                 x = np.asarray(X0[i])
                 y = self._eval_checked(f, x)
                 state.gp = self._add(state.gp, X0[i], jnp.asarray(y, dtype=self.dtype))
+            state.gp = self._refit_model(state.gp)
         else:
             state.iteration = 0  # current-run counter resets; total continues
             need = self._capacity(extra=int(state.gp.n))
@@ -260,7 +316,14 @@ class BOptimizer:
             x_next, acq_val, mu_pred = self._propose_jit(
                 model, k_prop, jnp.asarray(state.total_iterations))
             y = self._eval_checked(f, np.asarray(x_next))
-            if self.use_query_cache:
+            if self.model_type != "gp":
+                state.gp = self._add(state.gp, x_next,
+                                     jnp.asarray(y, dtype=self.dtype))
+                if (self.model_refit_period > 0 and
+                        (state.total_iterations + 1)
+                        % self.model_refit_period == 0):
+                    state.gp = self._refit_model(state.gp)
+            elif self.use_query_cache:
                 state.gp, state.cache = self._add_cached(
                     state.gp, state.cache, x_next,
                     jnp.asarray(y, dtype=self.dtype))
@@ -292,7 +355,9 @@ class BOptimizer:
 
     def _add(self, gp, x, y):
         if self._add_jit is None:
-            self._add_jit = jax.jit(gp_mod.add_sample)
+            from limbo_tpu.models.dispatch import add_sample_any
+
+            self._add_jit = jax.jit(add_sample_any)
         return self._add_jit(gp, x, y)
 
     def _add_cached(self, gp, cache, x, y):
@@ -354,6 +419,16 @@ class BOptimizer:
         bounded = self.bounded
         hp_opt, hp_period = self.hp_opt, self.hp_period
         dtype = self.dtype
+        # non-MaxIterations criteria become a freeze mask inside the scan
+        # (MaxIterations is the static trip count); each must be jit-capable
+        # via device_stop (stop/chain_criteria.hpp:65 OR-fold parity).
+        mask_criteria = tuple(s for s in self.stop
+                              if not isinstance(s, MaxIterations))
+        for s in mask_criteria:
+            if not hasattr(s, "device_stop"):
+                raise TypeError(
+                    f"stop criterion {type(s).__name__} lacks device_stop(); "
+                    "it cannot run inside optimize_jit — use optimize()")
 
         init_design = self.init
 
@@ -371,10 +446,12 @@ class BOptimizer:
             use_cache = self.use_query_cache
             cache = (gp_mod.QueryCache.build(gp) if use_cache
                      else gp_mod.QueryCache(Kinv=jnp.zeros((1, 1), dtype)))
+            best0 = jnp.max(jnp.where(
+                jnp.arange(capacity) < gp.n,
+                jax.vmap(aggregator)(gp.y), -jnp.inf)).astype(dtype)
 
-            def step(carry, it):
-                gp, cache, key = carry
-                key, k_prop, k_hp = jax.random.split(key, 3)
+            def live_step(gp, cache, key, it, best):
+                key, k_prop, k_hp, k_stop = jax.random.split(key, 4)
                 model = gp_mod.CachedGPView(gp, cache) if use_cache else gp
                 f_max = (acqui.best_predicted(model, aggregator)
                          if isinstance(acqui, EI) else None)
@@ -401,15 +478,41 @@ class BOptimizer:
                             lambda g: gp_mod.QueryCache.build(g),
                             lambda g: cache, gp)
                 agg_y = aggregator(y)
-                return (gp, cache, key), (res.x, y, agg_y)
+                best = jnp.maximum(best, agg_y)
+                stop_now = jnp.asarray(False)
+                for s in mask_criteria:
+                    stop_now = jnp.logical_or(
+                        stop_now, s.device_stop(gp, best, k_stop, aggregator))
+                return (gp, cache, key, best, stop_now), (res.x, y, agg_y)
 
-            (gp, _, _), (xs, ys, aggs) = jax.lax.scan(
-                step, (gp, cache, k_loop), jnp.arange(iters))
-            best = jax.lax.cummax(aggs)
-            return gp, xs, ys, best
+            def step(carry, it):
+                gp, cache, key, best, stopped = carry
+                nan_x = jnp.full((dim_in,), jnp.nan, dtype=dtype)
+                nan_y = jnp.full((dim_out,), jnp.nan, dtype=dtype)
 
-        gp, xs, ys, best = run(key)
+                def frozen(_):
+                    # emit NaN sample rows + -inf agg so cummax/best hold
+                    return ((gp, cache, key, best, stopped),
+                            (nan_x, nan_y, jnp.asarray(-jnp.inf, dtype)))
+
+                def live(_):
+                    (gp2, cache2, key2, best2, stop_now), out = live_step(
+                        gp, cache, key, it, best)
+                    return (gp2, cache2, key2, best2,
+                            jnp.logical_or(stopped, stop_now)), out
+
+                return jax.lax.cond(stopped, frozen, live, None)
+
+            (gp, _, _, _, _), (xs, ys, aggs) = jax.lax.scan(
+                step, (gp, cache, k_loop, best0, jnp.asarray(False)),
+                jnp.arange(iters))
+            best = jax.lax.cummax(jnp.maximum(aggs, best0))
+            n_eff = jnp.sum(jnp.isfinite(aggs))
+            return gp, xs, ys, best, n_eff
+
+        gp, xs, ys, best, n_eff = run(key)
         state = BOState(gp=gp, key=key, iteration=iters,
                         total_iterations=iters, aggregator=aggregator)
-        history = {"samples": xs, "observations": ys, "best": best}
+        history = {"samples": xs, "observations": ys, "best": best,
+                   "effective_iterations": n_eff}
         return state, history

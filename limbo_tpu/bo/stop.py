@@ -43,17 +43,23 @@ class MaxPredictedValue:
         default_factory=lambda: RandomRestarts(sub=Rprop(iterations=50),
                                                repeats=8, sweep_samples=512))
 
-    def __call__(self, state) -> jax.Array:
-        from limbo_tpu.models import gp as gp_mod
-
-        gp = state.gp
-        agg = state.aggregator
+    def device_stop(self, gp, best_value: jax.Array, key: jax.Array,
+                    aggregator) -> jax.Array:
+        """jit-safe check used inside optimize_jit's scan: once true, the
+        scan's freeze mask skips all remaining iterations (the jitted
+        equivalent of breaking the host loop — stop/chain_criteria.hpp:65)."""
+        from limbo_tpu.models.dispatch import query_any
 
         def mean_val(x):
-            mu, _ = gp_mod.query(gp, x[None, :])
-            return agg(mu[0])
+            mu, _ = query_any(gp, x[None, :])
+            return aggregator(mu[0])
 
         res = self.optimizer(mean_val, jnp.full((gp.dim_in,), 0.5,
-                                                dtype=gp.x.dtype),
-                             state.key, True)
-        return state.best_value >= self.ratio * res.value
+                                                dtype=gp.x.dtype), key, True)
+        return best_value >= self.ratio * res.value
+
+    def __call__(self, state) -> jax.Array:
+        return self.device_stop(state.gp,
+                                jnp.asarray(state.best_value,
+                                            dtype=state.gp.x.dtype),
+                                state.key, state.aggregator)

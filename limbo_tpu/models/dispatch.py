@@ -43,4 +43,10 @@ def add_sample_any(model, x, y):
         return sparse_gp.add_sample(model, x, y)
     if isinstance(model, multi_gp.MultiGP):
         return multi_gp.add_sample(model, x, y)
+    from limbo_tpu.models import iterative, spgp
+
+    if isinstance(model, spgp.SPGP):
+        return spgp.add_sample(model, x, y)
+    if isinstance(model, iterative.IterativeGP):
+        return iterative.add_sample(model, x, y)
     raise TypeError(f"add_sample not supported for {type(model)}")

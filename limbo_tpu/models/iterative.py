@@ -19,6 +19,8 @@ Predictive variance uses CG too: sigma^2(x) = k(x,x) - k_x^T K^{-1} k_x.
 
 from __future__ import annotations
 
+import functools
+
 import math
 from functools import partial
 from typing import Callable, Optional, Tuple
@@ -59,13 +61,8 @@ def blocked_kernel_matvec(kernel, X: jax.Array, mask: jax.Array,
     return out + diag[:, None] * V
 
 
-def cg_solve(matvec: Callable, B: jax.Array, tol: float = 1e-6,
-             maxiter: int = 256) -> Tuple[jax.Array, jax.Array]:
-    """Batched conjugate gradients for SPD systems, multi-RHS.
-
-    B: (n, q).  Returns (X, residual_norms).  Fixed-iteration lax.while_loop
-    with an early-exit residual test (converged columns freeze).
-    """
+def _cg_solve_impl(matvec: Callable, B: jax.Array, tol: float,
+                   maxiter: int) -> Tuple[jax.Array, jax.Array]:
     X0 = jnp.zeros_like(B)
     R0 = B
     P0 = B
@@ -93,6 +90,38 @@ def cg_solve(matvec: Callable, B: jax.Array, tol: float = 1e-6,
     X, R, P, rs, it = jax.lax.while_loop(
         cond, step, (X0, R0, P0, rs0, jnp.asarray(0, jnp.int32)))
     return X, jnp.sqrt(rs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2, 3))
+def cg_solve(matvec: Callable, B: jax.Array, tol: float = 1e-6,
+             maxiter: int = 256) -> Tuple[jax.Array, jax.Array]:
+    """Batched conjugate gradients for SPD systems, multi-RHS.
+
+    B: (n, q).  Returns (X, residual_norms).  Fixed-iteration lax.while_loop
+    with an early-exit residual test (converged columns freeze).
+
+    Differentiable in B by the implicit function theorem: for X = A^{-1}B
+    with A symmetric, the pullback is Bbar = A^{-1}Xbar — one more CG solve
+    (reverse-mode cannot go through the dynamic while_loop itself, and the
+    iterates are the wrong thing to differentiate anyway).  Gradients do NOT
+    flow through `matvec`'s captured parameters (kernel hyperparameters) —
+    hp-opt for the CG model family re-fits instead.
+    """
+    return _cg_solve_impl(matvec, B, tol, maxiter)
+
+
+def _cg_fwd(matvec, B, tol, maxiter):
+    out = _cg_solve_impl(matvec, B, tol, maxiter)
+    return out, None
+
+
+def _cg_bwd(matvec, tol, maxiter, _res, cts):
+    Xbar, _ = cts
+    Bbar, _ = _cg_solve_impl(matvec, Xbar, tol, maxiter)
+    return (Bbar,)
+
+
+cg_solve.defvjp(_cg_fwd, _cg_bwd)
 
 
 @struct.dataclass
@@ -142,6 +171,45 @@ def fit(kernel, mean, X: jax.Array, Y: jax.Array,
     return IterativeGP(kernel=kernel, mean=mean, x=xp, y=yp,
                        n=jnp.asarray(n, jnp.int32), alpha=alpha, block=block,
                        cg_tol=cg_tol, cg_maxiter=cg_maxiter)
+
+
+def empty(kernel, mean, dim_in: int, dim_out: int = 1,
+          capacity: int = 256, dtype=jnp.float32, block: int = 2048,
+          cg_tol: float = 1e-5, cg_maxiter: int = 256) -> IterativeGP:
+    """IterativeGP with no samples (BO-loop model slot)."""
+    return IterativeGP(kernel=kernel, mean=mean,
+                       x=jnp.zeros((capacity, dim_in), dtype=dtype),
+                       y=jnp.zeros((capacity, dim_out), dtype=dtype),
+                       n=jnp.asarray(0, jnp.int32),
+                       alpha=jnp.zeros((capacity, dim_out), dtype=dtype),
+                       block=min(block, capacity), cg_tol=cg_tol,
+                       cg_maxiter=cg_maxiter)
+
+
+def add_sample(gp: IterativeGP, x_new: jax.Array,
+               y_new: jax.Array) -> IterativeGP:
+    """Append one sample WITHOUT re-solving (alpha goes stale; call
+    `refit` to re-run CG — the BO driver does this every
+    model_refit_period iterations)."""
+    i = gp.n
+    x = gp.x.at[i].set(jnp.asarray(x_new, gp.x.dtype))
+    y = gp.y.at[i].set(jnp.asarray(y_new, gp.y.dtype))
+    return gp.replace(x=x, y=y, n=i + 1)
+
+
+def refit(gp: IterativeGP) -> IterativeGP:
+    """Re-solve alpha by CG from the current (padded) dataset — jit-safe,
+    static shapes; warm-started from the stale alpha."""
+    mask = gp.mask
+    mean = prepare_mean(gp.mean, gp.y, mask)
+    centered = (gp.y - mean(gp.x)) * mask[:, None]
+
+    def matvec(V):
+        return blocked_kernel_matvec(gp.kernel, gp.x, mask, gp.kernel.noise,
+                                     V, gp.block)
+
+    alpha, _ = cg_solve(matvec, centered, gp.cg_tol, gp.cg_maxiter)
+    return gp.replace(mean=mean, alpha=alpha)
 
 
 def query(gp: IterativeGP, Xq: jax.Array,

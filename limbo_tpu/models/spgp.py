@@ -123,6 +123,31 @@ def fit(kernel, mean, X: jax.Array, Y: jax.Array,
                 n=jnp.asarray(n, jnp.int32), xb=xb)
 
 
+def empty(kernel, mean, dim_in: int, dim_out: int = 1, m: int = 16,
+          capacity: int = 256, dtype=jnp.float32, key=None) -> SPGP:
+    """SPGP with no samples (BO-loop model slot; pseudo-inputs start on a
+    uniform random scatter and are refined by SPGPHpOpt)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    xb = jax.random.uniform(key, (m, dim_in), dtype=dtype)
+    return SPGP(kernel=kernel, mean=mean,
+                x=jnp.zeros((capacity, dim_in), dtype=dtype),
+                y=jnp.zeros((capacity, dim_out), dtype=dtype),
+                n=jnp.asarray(0, jnp.int32), xb=xb)
+
+
+def add_sample(sp: SPGP, x_new: jax.Array, y_new: jax.Array) -> SPGP:
+    """Append one sample (jit/scan-safe).  FITC terms are recomputed from
+    data at every query (spgp.hpp keeps no per-sample factor either — its
+    add_sample triggers a full recompute), so appending is O(1): write the
+    row, bump n, refresh the data mean."""
+    i = sp.n
+    x = sp.x.at[i].set(jnp.asarray(x_new, sp.x.dtype))
+    y = sp.y.at[i].set(jnp.asarray(y_new, sp.y.dtype))
+    sp2 = sp.replace(x=x, y=y, n=i + 1)
+    mean = prepare_mean(sp2.mean, y, sp2.mask)
+    return sp2.replace(mean=mean)
+
+
 def query(sp: SPGP, Xq: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """FITC predictive moments (spgp.hpp predict/query:193).
 

@@ -5,37 +5,41 @@ K^{-1} cache rebuild (the O(n^3) hot path of the reference:
 src/limbo/model/gp.hpp:550-605, `_compute_full_kernel` -> Eigen LLT and
 `_compute_alpha`'s triangular solves).
 
-Why not stock `jnp.linalg.cholesky`?  XLA's TPU Cholesky serializes in
-128-wide mini-panels with vector-unit updates; at n >= 8k it runs far below
-matmul speed (measured ~10x slower than this path at n=16k on v5e — see
-docs/BENCHMARKS.md).  The factorization here is restructured so that
-asymptotically *all* flops are MXU matmuls:
+Why not stock `jnp.linalg.cholesky`?  XLA's TPU Cholesky advances one column
+per sequential step — n dependent steps of vector-unit work, far below
+matmul speed at n >= 8k.  The factorization here is restructured so that
+asymptotically *all* flops are MXU GEMMs and the sequential dependency chain
+is n / PIVOT_W steps instead of n:
 
 * **Left-looking block factorization.**  For block column k (width B):
       panel  = A[kB:, kB:kB+B] - L[kB:, :kB] @ L[kB:kB+B, :kB]^T   (one GEMM)
-      L11    = chol(panel[:B])                                     (Pallas)
+      L11, L11^{-T} = panel_factor(panel[:B])                      (Pallas)
       L21    = panel[B:] @ L11^{-T}                                (one GEMM)
   The deferred (left-looking) update does exactly n^3/3 multiply-adds — no
-  wasted upper-triangle work, unlike a right-looking full-GEMM SYRK — and
-  each step is one large matmul, so the MXU stays busy.  The outer loop is
-  unrolled in Python: every slice has a static shape, XLA sees a straight-
-  line program of ~4 ops per block column.
+  wasted upper-triangle work — and each step is one large matmul.  The outer
+  loop is unrolled in Python: every slice has a static shape; XLA sees a
+  straight-line program of ~4 ops per block column.
 
-* **Pallas panel kernel.**  The B x B diagonal block is factorized *and*
-  inverted in VMEM by a single Mosaic kernel (`_panel_kernel`): a
-  Cholesky-Crout column sweep followed by a forward-substitution sweep,
-  both expressed as masked matvecs (no dynamic lane indexing, sublane-only
-  dynamic writes).  Producing L11^{-1} directly turns the TRSM into a GEMM.
+* **Pallas panel kernel with w-wide micro-pivots.**  The B x B diagonal
+  block is factorized *and* inverted in VMEM by one Mosaic kernel
+  (`_panel_kernel`), processing PIVOT_W columns per loop iteration: the
+  w x w pivot is factorized by a fully *unrolled* register-level loop (no
+  loop-carried VMEM round trips), the w-column block solve and the rank-w
+  trailing update are MXU ops.  This cuts the panel's sequential loop count
+  from B to B/w — the latency floor of any Cholesky — and producing
+  (L^T)^{-1} directly turns the driver's TRSM into a GEMM.
 
 * **Blocked triangular inverse** (`tri_inv_blocked`) with the same
   structure gives L^{-1} in block-row GEMMs; `Kinv = Linv^T @ Linv` then
   makes the whole K^{-1} cache build matmul-only (see models/gp.QueryCache).
 
-Numerics: all GEMMs default to `Precision.HIGHEST` (true f32 on the MXU);
-`cholesky_blocked` agrees with `jnp.linalg.cholesky` to f32 roundoff
-(tests/test_chol.py checks both f32 and f64-vs-f32 reconstruction error).
+Numerics: all GEMMs run at `Precision.HIGHEST` (true f32 on the MXU;
+measured bf16_3x "HIGH" loses ~50x accuracy for a 1.4x speedup — not worth
+it for a factorization).  `cholesky_blocked` agrees with
+`jnp.linalg.cholesky` to f32 roundoff (tests/test_chol.py checks f32 and
+f64).
 
-On non-TPU backends the Pallas kernel runs in interpreter mode (tests) and
+On non-TPU backends the Pallas kernels run in interpreter mode (tests) and
 `cholesky()` dispatches to stock XLA below `BLOCKED_MIN_N`.
 """
 
@@ -47,14 +51,10 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-try:  # pltpu only imports cleanly where libtpu exists; tests run on CPU
-    from jax.experimental.pallas import tpu as pltpu
-except ImportError:  # pragma: no cover
-    pltpu = None
-
 # below this size stock XLA Cholesky is already fine (and compile is cheaper)
 BLOCKED_MIN_N = 4096
 DEFAULT_BLOCK = 512
+PIVOT_W = 16          # micro-pivot width inside the panel kernel
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -64,92 +64,212 @@ def _interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# Pallas panel kernel: factor + invert one B x B diagonal block in VMEM
+# Pallas panel kernels (factor/invert one B x B diagonal block in VMEM)
 # ---------------------------------------------------------------------------
 
-def _panel_kernel(a_ref, l_ref, linv_ref):
-    """chol(A) and chol(A)^{-1} of a symmetric PD block, entirely in VMEM.
+def _unrolled_pivot_chol(P, w, dtype, tiny):
+    """Cholesky of a w x w pivot block, fully unrolled (register-level).
 
-    Works in the transposed layout LT[j, :] = column j of L so that the
-    per-column sequential writes hit the sublane dimension (dynamic lane
-    writes do not vectorize on TPU).  Every gather of a column is a masked
-    matvec against a one-hot vector — no dynamic lane reads either.
+    Returns (Lw, Lwinv) — both lower triangular.  Static python loop: no
+    loop-carried memory traffic, just straight-line vector code.
+    """
+    aw = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)    # (w, 1) row ids
+    ar = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)    # (1, w) col ids
+    Lw = jnp.zeros((w, w), dtype)
+    for a in range(w):
+        # Mosaic has no scatter: column/row writes are where-selects
+        lrow = Lw[a:a + 1, :]                                 # (1, w)
+        s = jnp.dot(Lw, lrow.reshape(w, 1),
+                    preferred_element_type=dtype, precision=HIGHEST)  # (w,1)
+        d = jnp.sqrt(jnp.maximum(P[a:a + 1, a:a + 1] - s[a:a + 1, :], tiny))
+        col = (P[:, a:a + 1] - s) / d                         # (w, 1)
+        col = jnp.where(aw > a, col,
+                        jnp.where(aw == a, jnp.broadcast_to(d, (w, 1)),
+                                  jnp.zeros((w, 1), dtype)))
+        Lw = jnp.where(ar == a, jnp.broadcast_to(col, (w, w)), Lw)
+    # forward-substitution inverse, rows top-down (row a uses rows < a)
+    Lwi = jnp.zeros((w, w), dtype)
+    for a in range(w):
+        lrow = Lw[a:a + 1, :]                                 # (1, w)
+        r = jnp.dot(lrow, Lwi, preferred_element_type=dtype,
+                    precision=HIGHEST)                        # (1, w)
+        e_row = jnp.where(ar == a, jnp.ones((1, w), dtype),
+                          jnp.zeros((1, w), dtype))
+        new_row = (e_row - r) / Lw[a:a + 1, a:a + 1]
+        Lwi = jnp.where(aw == a, jnp.broadcast_to(new_row, (w, w)), Lwi)
+    return Lw, Lwi
+
+
+def _unrolled_pivot_upper_inv(Uw, w, dtype):
+    """Inverse of a w x w upper-triangular block, unrolled back substitution."""
+    aw = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    ar = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    Uwi = jnp.zeros((w, w), dtype)
+    for a in reversed(range(w)):
+        urow = Uw[a:a + 1, :]                                 # (1, w)
+        r = jnp.dot(urow, Uwi, preferred_element_type=dtype,
+                    precision=HIGHEST)                        # rows > a set
+        e_row = jnp.where(ar == a, jnp.ones((1, w), dtype),
+                          jnp.zeros((1, w), dtype))
+        new_row = (e_row - r) / Uw[a:a + 1, a:a + 1]
+        Uwi = jnp.where(aw == a, jnp.broadcast_to(new_row, (w, w)), Uwi)
+    return Uwi
+
+
+def _panel_kernel(a_ref, lt_ref, v_ref):
+    """Factor a symmetric PD block: lt = L^T and v = (L^T)^{-1} = Linv^T.
+
+    Pass 1 — right-looking, PIVOT_W columns per step: pivot factorized by
+    the unrolled register loop, block column solved with one (w,w)x(w,B)
+    MXU op, trailing matrix updated by one rank-w GEMM.  The trailing S
+    stays symmetric, so rows (dynamic-sublane reads) double as columns —
+    no dynamic lane access anywhere.
+
+    Pass 2 — w-wide back substitution for V = U^{-1} (U = L^T), bottom-up.
+    v_ref doubles as the S scratch in pass 1 (saves a VMEM buffer).
     """
     B = a_ref.shape[0]
-    A = a_ref[:]
-    dtype = A.dtype
-    # everything stays >= 2-D: Mosaic does not lower 1-D (vector-vector) dots
-    iota = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)    # (B, 1)
+    w = PIVOT_W
+    nbw = B // w
+    dtype = a_ref.dtype
     tiny = jnp.asarray(1e-30, dtype)
     one = jnp.ones((), dtype)
     zero = jnp.zeros((), dtype)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)   # (B, 1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)   # (1, B)
+    wr_c = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)     # (w, 1)
 
     def dot00(a, b):
-        """Contract dim 0 with dim 0 (a: (B, p), b: (B, q)) -> (p, q)."""
         return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                    preferred_element_type=dtype,
                                    precision=HIGHEST)
 
-    # ---- pass 1: Cholesky-Crout, LT rows written top to bottom ----
-    l_ref[:] = jnp.zeros((B, B), dtype)
+    # ---- pass 1: w-wide right-looking factorization ----
+    v_ref[:] = a_ref[:]                    # S scratch
+    lt_ref[:] = jnp.zeros((B, B), dtype)
 
-    def factor_col(j, _):
-        lt = l_ref[:]
-        e_j = jnp.where(iota == j, one, zero)                # (B, 1)
-        v = jnp.dot(lt, e_j, preferred_element_type=dtype,
-                    precision=HIGHEST)                       # LT[:, j] = L[j, :]
-        w = v * jnp.where(iota < j, one, zero)               # (B, 1)
-        s = dot00(lt, w)                                     # (B, 1): L[r,:j].L[j,:j]
-        a_col = jnp.dot(A, e_j, preferred_element_type=dtype,
-                        precision=HIGHEST)                   # (B, 1)
-        a_jj = dot00(a_col, e_j)                             # (1, 1)
-        s_j = dot00(s, e_j)                                  # (1, 1)
-        d = jnp.sqrt(jnp.maximum(a_jj - s_j, tiny))          # (1, 1)
-        col = jnp.where(iota > j, (a_col - s) / d,
-                        jnp.where(iota == j, d * jnp.ones((B, 1), dtype),
-                                  jnp.zeros((B, 1), dtype)))
-        l_ref[pl.ds(j, 1), :] = col.reshape(1, B)
+    def factor_step(t, _):
+        j = t * w
+        W = v_ref[pl.ds(j, w), :]                             # (w, B)
+        E = jnp.where(iota_c == (j + wr_c.reshape(1, w)), one, zero)  # (B, w)
+        P = jnp.dot(W, E, preferred_element_type=dtype,
+                    precision=HIGHEST)                        # (w, w)
+        Lw, Lwi = _unrolled_pivot_chol(P, w, dtype, tiny)
+        Ct = jnp.dot(Lwi, W, preferred_element_type=dtype,
+                     precision=HIGHEST)                       # (w, B)
+        rowmask = iota_r >= (j + wr_c)                        # (w, B)
+        Ct = jnp.where(rowmask, Ct, zero)
+        lt_ref[pl.ds(j, w), :] = Ct
+        S = v_ref[:]
+        v_ref[:] = S - dot00(Ct, Ct)                          # rank-w update
         return 0
 
-    jax.lax.fori_loop(0, B, factor_col, 0)
+    jax.lax.fori_loop(0, nbw, factor_step, 0)
 
-    # ---- pass 2: forward substitution, X = L^{-1} row by row ----
-    lt = l_ref[:]
-    linv_ref[:] = jnp.zeros((B, B), dtype)
+    # ---- pass 2: V = U^{-1} (upper), w rows at a time, bottom-up ----
+    v_ref[:] = jnp.zeros((B, B), dtype)
 
-    def inv_row(k, _):
-        X = linv_ref[:]
-        e_k = jnp.where(iota == k, one, zero)                # (B, 1)
-        v = jnp.dot(lt, e_k, preferred_element_type=dtype,
-                    precision=HIGHEST)                       # (B, 1): L[k, :]
-        lkk = dot00(v, e_k)                                  # (1, 1)
-        w = v * jnp.where(iota < k, one, zero)               # (B, 1)
-        r = dot00(w, X)                                      # (1, B)
-        linv_ref[pl.ds(k, 1), :] = (e_k.reshape(1, B) - r) / lkk
+    def inv_step(tt, _):
+        t = nbw - 1 - tt
+        j = t * w
+        Urows = lt_ref[pl.ds(j, w), :]                        # (w, B)
+        E = jnp.where(iota_c == (j + wr_c.reshape(1, w)), one, zero)
+        Uw = jnp.dot(Urows, E, preferred_element_type=dtype,
+                     precision=HIGHEST)                       # (w, w)
+        Uwi = _unrolled_pivot_upper_inv(Uw, w, dtype)
+        V = v_ref[:]                                          # rows >= j+w set
+        R = jnp.dot(Urows, V, preferred_element_type=dtype,
+                    precision=HIGHEST)                        # (w, B)
+        E_rows = jnp.where(iota_r == (j + wr_c), one, zero)   # (w, B)
+        v_ref[pl.ds(j, w), :] = jnp.dot(Uwi, E_rows - R,
+                                        preferred_element_type=dtype,
+                                        precision=HIGHEST)
         return 0
 
-    jax.lax.fori_loop(0, B, inv_row, 0)
+    jax.lax.fori_loop(0, nbw, inv_step, 0)
 
 
 @functools.partial(jax.jit, static_argnums=())
 def _panel_factor_pallas(D: jax.Array):
-    """(B, B) PD block -> (LT, Linv) where LT = L^T row-major trick layout.
-
-    Returns L (lower) and L^{-1} (lower)."""
+    """(B, B) PD block -> (L11, L11invT): L lower, (L^{-1})^T upper."""
     B = D.shape[0]
-    lt, linv = pl.pallas_call(
+    lt, v = pl.pallas_call(
         _panel_kernel,
         out_shape=(jax.ShapeDtypeStruct((B, B), D.dtype),
                    jax.ShapeDtypeStruct((B, B), D.dtype)),
         interpret=_interpret(),
     )(D)
-    return lt.T, linv
+    return lt.T, v
+
+
+def _tri_inv_kernel(l_ref, v_ref):
+    """X = L^{-1} for lower-triangular L, w rows at a time, top-down.
+
+    Row block: X[j:j+w, :] = Lw^{-1} (E_rows - L[j:j+w, :] @ X); the matmul
+    only sees already-written rows (X rows >= j are still zero) and L's
+    zero upper triangle kills t > j+w terms.
+    """
+    B = l_ref.shape[0]
+    w = PIVOT_W
+    nbw = B // w
+    dtype = l_ref.dtype
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    wr_c = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    v_ref[:] = jnp.zeros((B, B), dtype)
+
+    def inv_step(t, _):
+        j = t * w
+        Lrows = l_ref[pl.ds(j, w), :]                         # (w, B)
+        E = jnp.where(iota_c == (j + wr_c.reshape(1, w)), one, zero)
+        Lw = jnp.dot(Lrows, E, preferred_element_type=dtype,
+                     precision=HIGHEST)
+        # forward-substitution inverse of the w x w pivot (lower)
+        Lwi = _unrolled_lower_inv(Lw, w, dtype)
+        X = v_ref[:]
+        R = jnp.dot(Lrows, X, preferred_element_type=dtype,
+                    precision=HIGHEST)                        # (w, B)
+        E_rows = jnp.where(iota_r == (j + wr_c), one, zero)
+        v_ref[pl.ds(j, w), :] = jnp.dot(Lwi, E_rows - R,
+                                        preferred_element_type=dtype,
+                                        precision=HIGHEST)
+        return 0
+
+    jax.lax.fori_loop(0, nbw, inv_step, 0)
+
+
+def _unrolled_lower_inv(Lw, w, dtype):
+    """Inverse of a w x w lower-triangular block, unrolled."""
+    aw = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    ar = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    Lwi = jnp.zeros((w, w), dtype)
+    for a in range(w):
+        lrow = Lw[a:a + 1, :]
+        r = jnp.dot(lrow, Lwi, preferred_element_type=dtype,
+                    precision=HIGHEST)
+        e_row = jnp.where(ar == a, jnp.ones((1, w), dtype),
+                          jnp.zeros((1, w), dtype))
+        new_row = (e_row - r) / Lw[a:a + 1, a:a + 1]
+        Lwi = jnp.where(aw == a, jnp.broadcast_to(new_row, (w, w)), Lwi)
+    return Lwi
+
+
+def _tri_inv_panel(Lii: jax.Array) -> jax.Array:
+    B = Lii.shape[0]
+    return pl.pallas_call(
+        _tri_inv_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, B), Lii.dtype),
+        interpret=_interpret(),
+    )(Lii)
 
 
 def panel_factor(D: jax.Array, use_pallas: bool = True):
     """Factor + invert a small diagonal block: returns (L11, L11inv)."""
     if use_pallas:
-        return _panel_factor_pallas(D)
+        L11, L11invT = _panel_factor_pallas(D)
+        return L11, L11invT.T
     L11 = jnp.linalg.cholesky(D)
     eye = jnp.eye(D.shape[0], dtype=D.dtype)
     L11inv = jax.scipy.linalg.solve_triangular(L11, eye, lower=True)
@@ -196,10 +316,14 @@ def cholesky_blocked(A: jax.Array, block: int = DEFAULT_BLOCK,
                                      precision=precision)
         else:
             panel = Apanel
-        L11, L11inv = panel_factor(panel[:block], use_pallas=use_pallas)
+        if use_pallas:
+            L11, L11invT = _panel_factor_pallas(panel[:block])
+        else:
+            L11, L11inv = panel_factor(panel[:block], use_pallas=False)
+            L11invT = L11inv.T
         L = L.at[j0:j1, j0:j1].set(L11)
         if j1 < N:
-            L21 = jnp.dot(panel[block:], L11inv.T,
+            L21 = jnp.dot(panel[block:], L11invT,
                           preferred_element_type=dtype, precision=precision)
             L = L.at[j1:, j0:j1].set(L21)
     return L[:n, :n]
@@ -237,43 +361,6 @@ def tri_inv_blocked(L: jax.Array, block: int = DEFAULT_BLOCK,
             X = X.at[j0:j1, :j0].set(Xrow)
         X = X.at[j0:j1, j0:j1].set(Linv_ii)
     return X[:n, :n]
-
-
-def _tri_inv_kernel(l_ref, linv_ref):
-    """Forward-substitution inverse of a lower-triangular VMEM block."""
-    B = l_ref.shape[0]
-    Lm = l_ref[:]
-    dtype = Lm.dtype
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)  # (B, 1)
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)  # (1, B)
-    one = jnp.ones((), dtype)
-    zero = jnp.zeros((), dtype)
-    linv_ref[:] = jnp.zeros((B, B), dtype)
-
-    def inv_row(k, _):
-        X = linv_ref[:]
-        e_k = jnp.where(iota_c == k, one, zero)              # (B, 1)
-        v = jax.lax.dot_general(e_k, Lm, (((0,), (0,)), ((), ())),
-                                preferred_element_type=dtype,
-                                precision=HIGHEST)           # (1, B): L[k, :]
-        lkk = jnp.dot(v, e_k, preferred_element_type=dtype,
-                      precision=HIGHEST)                     # (1, 1)
-        w = v * jnp.where(iota_r < k, one, zero)             # (1, B)
-        r = jnp.dot(w, X, preferred_element_type=dtype,
-                    precision=HIGHEST)                       # (1, B)
-        linv_ref[pl.ds(k, 1), :] = (jnp.where(iota_r == k, one, zero) - r) / lkk
-        return 0
-
-    jax.lax.fori_loop(0, B, inv_row, 0)
-
-
-def _tri_inv_panel(Lii: jax.Array) -> jax.Array:
-    B = Lii.shape[0]
-    return pl.pallas_call(
-        _tri_inv_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, B), Lii.dtype),
-        interpret=_interpret(),
-    )(Lii)
 
 
 # ---------------------------------------------------------------------------
@@ -330,7 +417,6 @@ def _cholesky_fwd(A, block, min_blocked):
 
 def _cholesky_bwd(block, min_blocked, L, Lbar):
     dtype = L.dtype
-    n = L.shape[0]
     P = jnp.dot(L.T, Lbar, preferred_element_type=dtype, precision=HIGHEST)
     phi = jnp.tril(P) - 0.5 * jnp.diag(jnp.diagonal(P))
     Linv = tri_inv(L, block=block, min_blocked=min_blocked)

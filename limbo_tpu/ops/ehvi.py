@@ -105,6 +105,157 @@ def ehvi_2d_max(mu: jax.Array, sigma: jax.Array, front: jax.Array,
                        front_mask=front_mask)
 
 
+def _psi_interval(l, u, mu, s):
+    """E[(u - max(y, l))^+] for y ~ N(mu, s^2), u >= l.
+
+    The separable per-dimension factor of the box-decomposition EHVI:
+      (u - l) Phi(z_l) + (u - mu)(Phi(z_u) - Phi(z_l)) + s (phi(z_u) - phi(z_l))
+    with z_t = (t - mu)/s.  l = -inf gives the classic E[(u - y)^+].
+    """
+    big = jnp.asarray(1e30, dtype=u.dtype)
+    l_c = jnp.maximum(l, -big)               # keep (u - l) finite; Phi(z_l)=0
+    z_l = (l_c - mu) / s
+    z_u = (u - mu) / s
+    return ((u - l_c) * _Phi(z_l)
+            + (u - mu) * (_Phi(z_u) - _Phi(z_l))
+            + s * (_phi(z_u) - _phi(z_l)))
+
+
+def nondominated_boxes_3d(front: jax.Array, ref: jax.Array,
+                          front_mask: Optional[jax.Array] = None):
+    """Partition the non-dominated region below `ref` into (k+1)^2 boxes
+    (MINIMIZATION).  Returns (lower, upper): ((k+1)^2, 3) arrays; lower may
+    be -inf (boxes are unbounded below in every axis they start at).
+
+    Cell construction (the vectorized equivalent of the reference's
+    slice-update sweep, src/ehvi/ehvi_sliceupdate.cc): grid the xy-plane at
+    the front's x/y coordinates (+ sentinels at -inf and ref); a z-column
+    over cell (i, j) is non-dominated exactly below
+        zeta_ij = min{ p_z : p_x <= x_i, p_y <= y_j }        (else ref_z).
+    Padded front rows are clamped to `ref`, landing them in zero-width cells.
+    """
+    k = front.shape[0]
+    big = jnp.asarray(1e30, dtype=front.dtype)
+    f = front
+    if front_mask is not None:
+        f = jnp.where(front_mask[:, None] > 0, f, ref[None, :])
+    f = jnp.minimum(f, ref[None, :])
+    xs = jnp.sort(f[:, 0])
+    ys = jnp.sort(f[:, 1])
+    ex = jnp.concatenate([-big[None], xs, ref[0][None]])       # (k+2,)
+    ey = jnp.concatenate([-big[None], ys, ref[1][None]])       # (k+2,)
+    # zeta[i, j] over left edges ex[i], ey[j], i,j = 0..k
+    dom_x = f[None, :, 0] <= ex[:k + 1, None]                  # (k+1, k)
+    dom_y = f[None, :, 1] <= ey[:k + 1, None]                  # (k+1, k)
+    cond = dom_x[:, None, :] & dom_y[None, :, :]               # (k+1, k+1, k)
+    zeta = jnp.min(jnp.where(cond, f[None, None, :, 2], big), axis=-1)
+    z_hi = jnp.minimum(zeta, ref[2])                           # (k+1, k+1)
+
+    lx = jnp.broadcast_to(ex[:k + 1, None], (k + 1, k + 1))
+    ux = jnp.broadcast_to(ex[1:, None], (k + 1, k + 1))
+    ly = jnp.broadcast_to(ey[None, :k + 1], (k + 1, k + 1))
+    uy = jnp.broadcast_to(ey[None, 1:], (k + 1, k + 1))
+    lz = jnp.full_like(lx, -big)
+    lower = jnp.stack([lx, ly, lz], axis=-1).reshape(-1, 3)
+    upper = jnp.stack([ux, uy, z_hi], axis=-1).reshape(-1, 3)
+    return lower, upper
+
+
+def nondominated_boxes_2d(front: jax.Array, ref: jax.Array,
+                          front_mask: Optional[jax.Array] = None):
+    """Stripe decomposition of the 2-D non-dominated region (k+1 boxes)."""
+    big = jnp.asarray(1e30, dtype=front.dtype)
+    f = front
+    if front_mask is not None:
+        f = jnp.where(front_mask[:, None] > 0, f, ref[None, :])
+    f = jnp.minimum(f, ref[None, :])
+    order = jnp.argsort(f[:, 0])
+    a = f[order, 0]
+    b = jax.lax.cummin(f[order, 1])
+    ex = jnp.concatenate([-big[None], a, ref[0][None]])        # (k+2,)
+    b_hi = jnp.concatenate([ref[1][None], b])                  # (k+1,)
+    lower = jnp.stack([ex[:-1], jnp.full_like(b_hi, -big)], axis=-1)
+    upper = jnp.stack([ex[1:], b_hi], axis=-1)
+    return lower, upper
+
+
+def nondominated_boxes(front: jax.Array, ref: jax.Array,
+                       front_mask: Optional[jax.Array] = None):
+    p = front.shape[1]
+    if p == 2:
+        return nondominated_boxes_2d(front, ref, front_mask)
+    if p == 3:
+        return nondominated_boxes_3d(front, ref, front_mask)
+    raise NotImplementedError(f"exact box decomposition needs p in (2, 3), got {p}")
+
+
+def ehvi_boxes_min(mu: jax.Array, sigma: jax.Array, lower: jax.Array,
+                   upper: jax.Array) -> jax.Array:
+    """Exact EHVI from a box decomposition (MINIMIZATION):
+        EHVI = sum_boxes prod_m psi(l_m, u_m, mu_m, sigma_m).
+    Separability holds because the posterior marginals are independent
+    (one GP per objective, limbo bo_multi.hpp:153)."""
+    s = jnp.maximum(sigma, 1e-12)
+    factors = _psi_interval(lower, upper, mu[None, :], s[None, :])
+    return jnp.sum(jnp.prod(jnp.maximum(factors, 0.0), axis=-1))
+
+
+def ehvi_3d_min(mu: jax.Array, sigma: jax.Array, front: jax.Array,
+                ref: jax.Array, front_mask: Optional[jax.Array] = None
+                ) -> jax.Array:
+    """Exact 3-D EHVI, minimization (≙ src/ehvi/ehvi_sliceupdate.cc, but as
+    one fused O(k^2)-cell device program instead of a scalar sweep)."""
+    lower, upper = nondominated_boxes_3d(front, ref, front_mask)
+    return ehvi_boxes_min(mu, sigma, lower, upper)
+
+
+def ehvi_3d_max(mu: jax.Array, sigma: jax.Array, front: jax.Array,
+                ref: jax.Array, front_mask: Optional[jax.Array] = None
+                ) -> jax.Array:
+    """3-D EHVI under MAXIMIZATION (limbo's BO convention)."""
+    return ehvi_3d_min(-mu, sigma, -front, -jnp.asarray(ref),
+                       front_mask=front_mask)
+
+
+def ehvi_max(mu: jax.Array, sigma: jax.Array, front: jax.Array,
+             ref: jax.Array, front_mask: Optional[jax.Array] = None
+             ) -> jax.Array:
+    """Exact EHVI (maximization), p = 2 or 3, via box decomposition."""
+    lower, upper = nondominated_boxes(-front, -jnp.asarray(ref), front_mask)
+    return ehvi_boxes_min(-mu, sigma, lower, upper)
+
+
+def qehvi_mc_max(Y_samples: jax.Array, front: jax.Array, ref: jax.Array,
+                 front_mask: Optional[jax.Array] = None) -> jax.Array:
+    """q-point batch EHVI by Monte Carlo over JOINT posterior samples
+    (≙ src/ehvi/ehvi_multi.cc's multi-point EHVI; algorithmically the
+    qEHVI inclusion-exclusion estimator, all candidates/cells/samples
+    batched on device).
+
+    Y_samples: (n_mc, q, p) joint draws for the q candidates (use
+    acqui.qei's joint-posterior sampler).  Per draw, the union improvement
+    is summed cell-by-cell with inclusion-exclusion over candidate subsets
+    — exact for each sample, so the only error is MC.
+
+    Maximization convention; exact boxes need p in (2, 3).
+    """
+    n_mc, q, p = Y_samples.shape
+    lower, upper = nondominated_boxes(-front, -jnp.asarray(ref), front_mask)
+    Z = -Y_samples                                             # minimization
+    # inclusion-exclusion over non-empty subsets of candidates
+    import itertools
+
+    total = jnp.zeros((), Y_samples.dtype)
+    for r in range(1, q + 1):
+        for S in itertools.combinations(range(q), r):
+            zS = jnp.max(Z[:, jnp.asarray(S), :], axis=1)      # (n_mc, p)
+            a = jnp.maximum(zS[:, None, :], lower[None, :, :])  # (n_mc, nb, p)
+            vol = jnp.prod(jnp.maximum(upper[None, :, :] - a, 0.0), axis=-1)
+            sign = 1.0 if (r % 2 == 1) else -1.0
+            total = total + sign * jnp.sum(vol) / n_mc
+    return total
+
+
 def ehvi_mc_max(key: jax.Array, mu: jax.Array, sigma: jax.Array,
                 front: jax.Array, ref: jax.Array,
                 front_mask: Optional[jax.Array] = None,
@@ -131,4 +282,7 @@ def ehvi_mc_max(key: jax.Array, mu: jax.Array, sigma: jax.Array,
 
         hvs = jax.vmap(hv_with)(ys)
         return jnp.mean(jnp.maximum(hvs - hv0, 0.0))
-    raise NotImplementedError("MC EHVI for p>2 runs via the native host lib")
+    if p == 3:
+        # per-sample improvement is exact via the box decomposition
+        return qehvi_mc_max(ys[:, None, :], front, ref, front_mask=front_mask)
+    raise NotImplementedError("MC EHVI for p>3 runs via the native host lib")

@@ -150,3 +150,46 @@ def test_bo_with_sparsified_model():
     state = bo.optimize(quad, dim_in=2, key=jax.random.PRNGKey(12))
     assert int(state.gp.n) <= 15
     np.testing.assert_allclose(state.best_sample, [OPT_X, OPT_X], atol=0.15)
+
+
+def test_optimize_jit_stop_mask():
+    """MaxPredictedValue inside the jitted scan freezes remaining iterations
+    (stop/max_predicted_value.hpp:71 parity for the device loop)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from limbo_tpu.bo.optimizer import BOptimizer
+    from limbo_tpu.bo.stop import MaxIterations, MaxPredictedValue
+
+    def f(x):
+        return -jnp.sum((x - 0.4) ** 2)[None]
+
+    bo = BOptimizer(stop=(MaxIterations(30), MaxPredictedValue(ratio=0.9)),
+                    stats_enabled=False)
+    state, hist = bo.optimize_jit(f, dim_in=1, key=jax.random.PRNGKey(3),
+                                  n_iterations=30)
+    n_eff = int(hist["effective_iterations"])
+    # on a smooth 1-D quadratic the model max is met well before 30 iters
+    assert n_eff < 30
+    # frozen iterations emit NaN samples; live ones are finite
+    finite = np.isfinite(np.asarray(hist["samples"])[:, 0])
+    assert finite.sum() == n_eff
+    # best history is monotone and the optimum was found
+    best = np.asarray(hist["best"])
+    assert np.all(np.diff(best) >= 0)
+    assert best[-1] > -1e-3
+
+
+def test_optimize_jit_rejects_host_only_criterion():
+    import pytest
+
+    from limbo_tpu.bo.optimizer import BOptimizer
+
+    class HostOnly:
+        def __call__(self, state):
+            return False
+
+    bo = BOptimizer(stop=(HostOnly(),), stats_enabled=False)
+    with pytest.raises(TypeError):
+        bo.optimize_jit(lambda x: x[:1], dim_in=1)

@@ -114,3 +114,54 @@ def test_hp_opts(hp_cls):
 
 def test_stop_max_predicted_value():
     run_bo(stop=(MaxIterations(3), MaxPredictedValue(ratio=5.0)))
+
+
+# ---------------------------------------------------------------------------
+# model-slot parity (limbo modelfun<...>, bo_base.hpp:113): every model
+# family drives the BO loop
+# ---------------------------------------------------------------------------
+
+import jax as _jax
+import jax.numpy as _jnp
+import numpy as _np
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("model_type,options", [
+    ("spgp", {"m": 8}),
+    ("iterative", {"block": 64, "cg_maxiter": 64}),
+])
+def test_bo_loop_with_alt_models(model_type, options):
+    from limbo_tpu.bo.init_designs import RandomSampling
+    from limbo_tpu.bo.optimizer import BOptimizer
+    from limbo_tpu.bo.stop import MaxIterations
+
+    def f(x):
+        return _np.array([-(float(x[0]) - 0.6) ** 2])
+
+    bo = BOptimizer(model_type=model_type, model_options=options,
+                    init=RandomSampling(6), stop=(MaxIterations(12),),
+                    stats_enabled=False, dtype=_jnp.float64)
+    state = bo.optimize(f, dim_in=1, key=_jax.random.PRNGKey(5))
+    assert int(state.gp.n) == 18
+    assert abs(float(state.best_sample[0]) - 0.6) < 0.15
+    assert state.best_value > -0.02
+
+
+def test_bo_loop_spgp_with_hp_opt():
+    from limbo_tpu.bo.init_designs import RandomSampling
+    from limbo_tpu.bo.optimizer import BOptimizer
+    from limbo_tpu.bo.stop import MaxIterations
+    from limbo_tpu.models.spgp import SPGPHpOpt
+    from limbo_tpu.opt.gradient import Rprop
+
+    def f(x):
+        return _np.array([-(float(x[0]) - 0.3) ** 2])
+
+    bo = BOptimizer(model_type="spgp", model_options={"m": 6},
+                    init=RandomSampling(6), stop=(MaxIterations(10),),
+                    hp_opt=SPGPHpOpt(optimizer=Rprop(iterations=30)),
+                    hp_period=5, stats_enabled=False, dtype=_jnp.float64)
+    state = bo.optimize(f, dim_in=1, key=_jax.random.PRNGKey(6))
+    assert int(state.gp.n) == 16
+    assert state.best_value > -0.05

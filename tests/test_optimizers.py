@@ -126,3 +126,104 @@ def test_vmappable():
     assert res.x.shape == (2, 2)
     np.testing.assert_allclose(np.asarray(res.x),
                                [[0.5, 0.5], [0.5, 0.5]], atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# constrained optimization (reference: src/tests/test_nlopt.cpp:100-165)
+# ---------------------------------------------------------------------------
+
+def test_auglag_equality_constraint():
+    """maximize -x0^2 - x1^2 s.t. x0 + 3 x1 - 10 = 0 -> (1, 3)
+    (test_nlopt.cpp test_nlopt_no_grad_constraint)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from limbo_tpu.opt.constrained import AugmentedLagrangian
+    from limbo_tpu.opt.gradient import Rprop
+
+    opt = AugmentedLagrangian(sub=Rprop(iterations=150),
+                              outer_iterations=12)
+    opt = opt.add_equality_constraint(lambda x: x[0] + 3.0 * x[1] - 10.0)
+
+    def f(x):
+        return -x[0] ** 2 - x[1] ** 2
+
+    best = None
+    for i in range(5):
+        x0 = jax.random.uniform(jax.random.PRNGKey(i), (2,),
+                                dtype=jnp.float64)
+        res = jax.jit(lambda x0, k: opt(f, x0, k, False))(
+            x0, jax.random.PRNGKey(100 + i))
+        x = np.asarray(res.x)
+        if best is None or (np.linalg.norm(x - [1.0, 3.0])
+                            < np.linalg.norm(best - [1.0, 3.0])):
+            best = x
+    np.testing.assert_allclose(best, [1.0, 3.0], atol=1e-4)
+
+
+def test_auglag_inequality_constraint():
+    """maximize -x0^2 - x1^2 s.t. -x0 - 3 x1 + 10 <= 0 -> (1, 3)
+    (test_nlopt.cpp test_nlopt_grad_constraint)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from limbo_tpu.opt.constrained import AugmentedLagrangian
+    from limbo_tpu.opt.gradient import Rprop
+
+    opt = AugmentedLagrangian(sub=Rprop(iterations=150),
+                              outer_iterations=12)
+    opt = opt.add_inequality_constraint(
+        lambda x: -x[0] - 3.0 * x[1] + 10.0)
+
+    def f(x):
+        return -x[0] ** 2 - x[1] ** 2
+
+    best = None
+    for i in range(5):
+        x0 = jax.random.uniform(jax.random.PRNGKey(i), (2,),
+                                dtype=jnp.float64)
+        res = jax.jit(lambda x0, k: opt(f, x0, k, False))(
+            x0, jax.random.PRNGKey(200 + i))
+        x = np.asarray(res.x)
+        if best is None or (np.linalg.norm(x - [1.0, 3.0])
+                            < np.linalg.norm(best - [1.0, 3.0])):
+            best = x
+    np.testing.assert_allclose(best, [1.0, 3.0], atol=1e-3)
+
+
+def test_auglag_inactive_inequality():
+    """An inactive constraint must not perturb the unconstrained optimum."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from limbo_tpu.opt.constrained import AugmentedLagrangian
+    from limbo_tpu.opt.gradient import Rprop
+
+    opt = AugmentedLagrangian(sub=Rprop(iterations=150), outer_iterations=8)
+    opt = opt.add_inequality_constraint(lambda x: x[0] + x[1] - 100.0)
+
+    res = opt(lambda x: -jnp.sum((x - 0.5) ** 2),
+              jnp.asarray([3.0, -2.0]), jax.random.PRNGKey(0), False)
+    np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=1e-5)
+
+
+def test_auglag_with_cmaes_sub():
+    """The wrapper composes with gradient-free inner optimizers too
+    (≙ COBYLA being NLOpt's derivative-free constrained solver)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from limbo_tpu.opt.cmaes import Cmaes
+    from limbo_tpu.opt.constrained import AugmentedLagrangian
+
+    opt = AugmentedLagrangian(sub=Cmaes(iterations=60, pop_size=16),
+                              outer_iterations=6)
+    opt = opt.add_equality_constraint(lambda x: x[0] + x[1] - 1.0)
+
+    res = opt(lambda x: -jnp.sum(x ** 2),
+              jnp.asarray([0.9, 0.9]), jax.random.PRNGKey(0), True)
+    np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=5e-2)
