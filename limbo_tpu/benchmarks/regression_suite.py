@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from limbo_tpu.benchmarks import oracle as oracle_mod
 from limbo_tpu.benchmarks.regression_functions import (
     ALL_REGRESSION,
     RegressionFunction,
@@ -65,33 +66,40 @@ def _make_runner(fn: RegressionFunction, dim: int, n: int, spec: ModelSpec,
     # scaling — the standard normalization; native scales like Piston's
     # P0 ~ 1e5 underflow an ell=1 SE kernel and destabilize hp-opt)
     @jax.jit
-    def fit_fn(key):
-        kx, kn, khp = jax.random.split(key, 3)
+    def make_data(key):
+        kx, kn, kq = jax.random.split(key, 3)
         U = jax.random.uniform(kx, (n, dim), dtype=dtype)
         X = lo + U * (hi - lo)
         Y = jax.vmap(f)(X)[:, None].astype(dtype)
         Y = Y + noise_std * jax.random.normal(kn, Y.shape, dtype=dtype)
-        gp = gp_mod.fit(kern, NullMean(), U, Y, capacity=capacity)
-        gp = hp(gp, khp)
-        return gp
+        Uq = jax.random.uniform(kq, (n_test, dim), dtype=dtype)
+        Yq = jax.vmap(f)(lo + Uq * (hi - lo))[:, None]
+        return U, Y, Uq, Yq
 
     @jax.jit
-    def query_fn(gp, key):
-        U = jax.random.uniform(key, (n_test, dim), dtype=dtype)
-        Xt = lo + U * (hi - lo)
-        Yt = jax.vmap(f)(Xt)[:, None]
-        mu, var = gp_mod.query(gp, U)
-        mse = jnp.mean((mu - Yt) ** 2)
+    def fit_fn(U, Y, key):
+        gp = gp_mod.fit(kern, NullMean(), U, Y, capacity=capacity)
+        return hp(gp, key)
+
+    @jax.jit
+    def query_fn(gp, Uq, Yq):
+        mu, var = gp_mod.query(gp, Uq)
+        mse = jnp.mean((mu - Yq) ** 2)
         return mse, mu, var
 
-    return fit_fn, query_fn
+    return make_data, fit_fn, query_fn
 
 
 def run_regression_suite(functions: Optional[List[RegressionFunction]] = None,
                          models: Optional[List[ModelSpec]] = None,
-                         points=(50, 100, 200, 400, 600), nb_reps: int = 5,
+                         points=(50, 100, 200, 400, 600), nb_reps: int = 10,
                          out_dir: str = "regression_results",
-                         dtype=jnp.float32, verbose: bool = True) -> Dict:
+                         dtype=jnp.float32, with_oracle: bool = True,
+                         oracle_reps: int = 3, verbose: bool = True) -> Dict:
+    """Full reference protocol (waf_tools/regression_benchmarks.json: all
+    functions x n in {50..600} x replicates) with a measured f64 NumPy
+    oracle baseline (same SE-ARD + Rprop model — benchmarks/oracle.py,
+    standing in for the GPy/libGP comparison)."""
     functions = functions if functions is not None else ALL_REGRESSION
     models = models if models is not None else DEFAULT_MODELS
     os.makedirs(out_dir, exist_ok=True)
@@ -100,38 +108,60 @@ def run_regression_suite(functions: Optional[List[RegressionFunction]] = None,
         for dim in fn.dims:
             for n in points:
                 for spec in models:
-                    fit_fn, query_fn = _make_runner(fn, dim, n, spec,
-                                                    dtype=dtype)
+                    make_data, fit_fn, query_fn = _make_runner(
+                        fn, dim, n, spec, dtype=dtype)
                     mses, t_learn, t_query = [], [], []
+                    o_mses, o_learn, o_query = [], [], []
                     for rep in range(nb_reps):
                         key = jax.random.PRNGKey(rep * 97 + 13)
-                        k1, k2 = jax.random.split(key)
+                        kd, k1 = jax.random.split(key)
+                        U, Y, Uq, Yq = make_data(kd)
                         if rep == 0:                 # compile outside timing
-                            gp = fit_fn(k1)
+                            gp = fit_fn(U, Y, k1)
                             jax.block_until_ready(gp.L)
-                            out = query_fn(gp, k2)
+                            out = query_fn(gp, Uq, Yq)
                             jax.block_until_ready(out[0])
                         t0 = time.perf_counter()
-                        gp = fit_fn(k1)
+                        gp = fit_fn(U, Y, k1)
                         jax.block_until_ready(gp.L)
                         t_learn.append(time.perf_counter() - t0)
                         t0 = time.perf_counter()
-                        mse, mu, var = query_fn(gp, k2)
+                        mse, mu, var = query_fn(gp, Uq, Yq)
                         jax.block_until_ready(mu)
                         t_query.append(time.perf_counter() - t0)
                         mses.append(float(mse))
+                        if with_oracle and rep < oracle_reps:
+                            om, ol, oq = oracle_mod.fit_and_eval(
+                                np.asarray(U), np.asarray(Y), np.asarray(Uq),
+                                np.asarray(Yq),
+                                optimize_noise=spec.optimize_noise)
+                            o_mses.append(om)
+                            o_learn.append(ol)
+                            o_query.append(oq)
                     tag = f"{fn.name}_d{dim}_n{n}_{spec.name}"
                     row = {"mse": float(np.median(mses)),
                            "learn_ms": float(np.median(t_learn)) * 1e3,
                            "query_ms": float(np.median(t_query)) * 1e3}
+                    if o_mses:
+                        row["oracle_mse"] = float(np.median(o_mses))
+                        row["oracle_learn_ms"] = float(np.median(o_learn)) * 1e3
+                        row["oracle_query_ms"] = float(np.median(o_query)) * 1e3
+                        row["vs_oracle_learn"] = (row["oracle_learn_ms"]
+                                                  / max(row["learn_ms"], 1e-9))
+                        row["vs_oracle_query"] = (row["oracle_query_ms"]
+                                                  / max(row["query_ms"], 1e-9))
                     summary[tag] = row
                     with open(os.path.join(out_dir, tag + ".dat"), "a") as fh:
                         for m, tl, tq in zip(mses, t_learn, t_query):
                             fh.write(f"{m:.8f} {tl*1e3:.3f} {tq*1e3:.3f}\n")
                     if verbose:
+                        extra = (f" | oracle mse={row.get('oracle_mse', 0):.5f}"
+                                 f" {row.get('vs_oracle_learn', 0):.1f}x learn"
+                                 if o_mses else "")
                         print(f"{tag:50s} mse={row['mse']:.5f} "
                               f"learn={row['learn_ms']:.1f}ms "
-                              f"query={row['query_ms']:.2f}ms")
+                              f"query={row['query_ms']:.2f}ms{extra}",
+                              flush=True)
     with open(os.path.join(out_dir, "summary.json"), "w") as fh:
         json.dump(summary, fh, indent=1)
     return summary

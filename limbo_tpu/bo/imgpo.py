@@ -1,17 +1,30 @@
 """IMGPO: Bayesian optimization with exponential convergence (NIPS 2015,
 Kawaguchi, Kaelbling, Lozano-Perez).
 
-Reference: src/limbo/experimental/bayes_opt/imgpo.hpp:86 (~420 LoC) — a
-hierarchical 3-way partition tree (SOO-style) whose candidate evaluations are
-screened by GP-UCB bounds: a cell center is only *really* evaluated when its
-GP upper confidence bound beats the incumbent; otherwise the GP mean stands
-in (samp=false), giving the algorithm its exponential-convergence guarantee
-without wasting evaluations.
+Reference: src/limbo/experimental/bayes_opt/imgpo.hpp:86-417 — a hierarchical
+3-way partition tree (SOO-style) whose candidate evaluations are screened by
+GP-UCB bounds.  Full-fidelity port of the reference's control flow:
 
-Design split: the tree bookkeeping (irregular, data-dependent) lives on host
-in numpy; every GP fit/query is a jitted padded-buffer program on device —
-batched over all candidate centers of a round (the reference queries one
-point at a time, imgpo.hpp:246-263).
+* **UCB_IMGPO screening with the M counter** (imgpo.hpp:274-300 and
+  experimental/acqui/ucb_imgpo.hpp:62): a new child is really evaluated only
+  when UCB(x; M) - LB >= 1e-6; otherwise it carries the optimistic GP
+  estimate  mu + (sqrt(2 log(pi^2 M^2 / (12 nu))) + 0.2) sigma  and M (the
+  count of GP-screened points) increments — the quantity the regret bound
+  tracks.
+
+* **xi-lookahead** (steps (iii), imgpo.hpp:169-249): before splitting a
+  selected cell at depth h, virtually expand it xi levels (xi = distance to
+  the next deeper selected cell, capped by ceil(XI) <= XI_max = 4) and
+  screen the virtual descendants' UCBs against b_max[h+xi]; if none can
+  beat the deeper candidate, the cell is pruned this round.
+
+* **XI adaptation** (imgpo.hpp:371-376): XI shrinks by 0.5 (floor 1) when
+  the incumbent stalls, grows by 4 on improvement.
+
+Design split: tree bookkeeping (irregular, data-dependent) lives on host in
+numpy; every GP fit/query is a jitted padded-buffer program on device,
+batched over the candidate centers of a round (the reference queries one
+point at a time and refits the GP before every query, imgpo.hpp:274).
 """
 
 from __future__ import annotations
@@ -27,6 +40,8 @@ from limbo_tpu.kernels import MaternFiveHalves
 from limbo_tpu.means import DataMean
 from limbo_tpu.models import gp as gp_mod
 
+_INF = math.inf
+
 
 class _Cell:
     __slots__ = ("lo", "hi", "x", "f", "leaf", "sampled")
@@ -36,20 +51,41 @@ class _Cell:
         self.leaf, self.sampled = leaf, sampled
 
 
+def _split3(lo, hi, x):
+    """3-way split along the widest dimension; returns (left, center, right)
+    as (lo, hi, x) triples — split points match imgpo.hpp:267-270 (centers
+    of the outer thirds)."""
+    width = hi - lo
+    d = int(np.argmax(width))
+    third = width[d] / 3.0
+    out = []
+    for k in range(3):
+        c_lo, c_hi = lo.copy(), hi.copy()
+        c_lo[d] = lo[d] + k * third
+        c_hi[d] = lo[d] + (k + 1) * third
+        cx = x.copy()
+        cx[d] = 0.5 * (c_lo[d] + c_hi[d])
+        out.append((c_lo, c_hi, cx))
+    return out[0], out[1], out[2]
+
+
 class IMGPO:
     """GP-guided hierarchical partition search on [0,1]^dim (maximization)."""
 
     def __init__(self, kernel=None, mean=None, max_evals: int = 60,
-                 ucb_beta: float = 2.0, max_depth: int = 20,
-                 dtype=jnp.float64):
+                 nu: float = 0.05, xi_max: int = 4, max_depth: int = 20,
+                 hp_opt=None, dtype=jnp.float64):
         self.kernel = kernel
         self.mean = mean
         self.max_evals = max_evals
-        self.ucb_beta = ucb_beta
+        self.nu = nu                 # UCB_IMGPO confidence (ucb_imgpo.hpp)
+        self.xi_max = xi_max         # XI_max (imgpo.hpp:118)
         self.max_depth = max_depth
+        self.hp_opt = hp_opt         # optional final hp-opt (imgpo.hpp:379)
         self.dtype = dtype
         self.X: List[np.ndarray] = []
         self.Y: List[float] = []
+        self.M = 1                   # GP-screened candidate counter
         self._query_jit = None
 
     # -- GP helpers ----------------------------------------------------------
@@ -70,9 +106,14 @@ class IMGPO:
         mu, var = self._query_jit(gp, jnp.asarray(X, dtype=self.dtype))
         return np.asarray(mu)[:, 0], np.asarray(var)
 
-    def _ucb(self, gp, X: np.ndarray) -> np.ndarray:
+    def _varsigma(self, M: int) -> float:
+        """UCB_IMGPO width (ucb_imgpo.hpp:62, imgpo.hpp:284)."""
+        return math.sqrt(2.0 * math.log(
+            math.pi ** 2 * max(M, 1) ** 2 / (12.0 * self.nu))) + 0.2
+
+    def _ucb(self, gp, X: np.ndarray, M: int) -> np.ndarray:
         mu, var = self._moments(gp, X)
-        return mu + self.ucb_beta * np.sqrt(var)
+        return mu + self._varsigma(M) * np.sqrt(var)
 
     # -- the main loop -------------------------------------------------------
 
@@ -93,78 +134,130 @@ class IMGPO:
         tree: List[List[_Cell]] = [[root]]
         capacity = max(64, -(-(self.max_evals * 2) // 64) * 64)
         LB = root.f
+        LB_old = LB
+        XI = 1.0
 
         while evals < self.max_evals:
             gp = self._fit_gp(capacity) if len(self.X) >= 2 else None
             depth_T = len(tree) - 1
-            # steps (i)-(ii): per-depth best leaf; realize GP-estimated cells
-            i_max: List[Optional[int]] = []
+
+            # ---- steps (i)-(ii): select best leaf per depth with the global
+            # running max; realize GP-estimated selections (imgpo.hpp:134-167)
+            i_max: List[int] = [-1] * (depth_T + 1)
+            b_max: List[float] = [-_INF] * (depth_T + 1)
+            b_hi_max = -_INF
             for h in range(depth_T + 1):
-                leaves = [(i, c) for i, c in enumerate(tree[h]) if c.leaf]
-                if not leaves:
-                    i_max.append(None)
+                while True:
+                    for i, c in enumerate(tree[h]):
+                        if c.leaf and c.f > b_hi_max:
+                            b_hi_max = c.f
+                            i_max[h] = i
+                            b_max[h] = c.f
+                    if i_max[h] == -1:
+                        break
+                    cell = tree[h][i_max[h]]
+                    if cell.sampled:
+                        break
+                    if evals >= self.max_evals:
+                        break
+                    cell.f = evaluate(cell.x)       # realize the GP estimate
+                    cell.sampled = True
+                    LB = max(LB, cell.f)
+
+            # ---- step (iii): xi-lookahead pruning (imgpo.hpp:169-249) ----
+            for h in range(depth_T + 1):
+                if i_max[h] == -1 or gp is None:
                     continue
-                i_best, c_best = max(leaves, key=lambda ic: ic[1].f)
-                if not c_best.sampled and evals < self.max_evals:
-                    # the selected cell only had a GP estimate — sample it
-                    c_best.f = evaluate(c_best.x)
-                    c_best.sampled = True
-                    LB = max(LB, c_best.f)
-                i_max.append(i_best)
-            # steps (iii)-(iv): split, from shallow to deep, cells that beat
-            # every deeper candidate (SOO rule) — with GP-UCB screening of
-            # the new children (imgpo.hpp:246-263)
-            nu_max = -math.inf
+                xi = -1
+                h2_cap = min(depth_T,
+                             h + min(int(math.ceil(XI)), self.xi_max))
+                for h2 in range(h + 1, h2_cap + 1):
+                    if i_max[h2] != -1:
+                        xi = h2 - h
+                        break
+                if xi == -1:
+                    continue
+                cell = tree[h][i_max[h]]
+                z_max = -_INF
+                M2 = self.M
+                level = [(cell.lo, cell.hi, cell.x)]
+                beaten = False
+                for _ in range(xi):
+                    nxt = []
+                    for (lo, hi, x) in level:
+                        left, center, right = _split3(lo, hi, x)
+                        cand = np.stack([left[2], right[2]])
+                        ucb = self._ucb(gp, cand, M2)
+                        z_max = max(z_max, float(np.max(ucb)))
+                        M2 += 2
+                        if z_max >= b_max[h + xi]:
+                            beaten = True
+                            break
+                        nxt.extend([left, center, right])
+                    if beaten:
+                        break
+                    level = nxt
+                if not beaten and z_max < b_max[h + xi]:
+                    self.M = M2
+                    i_max[h] = -1          # pruned this round
+
+            # ---- steps (iv)-(v): split survivors, shallow to deep, with
+            # UCB_IMGPO screening of the new children (imgpo.hpp:252-366)
+            b_hi_max_2 = -_INF
             split_any = False
             for h in range(min(depth_T + 1, self.max_depth)):
                 i = i_max[h]
-                if i is None:
+                if i == -1 or not (b_max[h] > b_hi_max_2):
                     continue
                 cell = tree[h][i]
-                if cell.f <= nu_max:
-                    continue
-                nu_max = cell.f
                 if evals >= self.max_evals:
                     break
-                # 3-way split along the widest dimension
-                width = cell.hi - cell.lo
-                d_split = int(np.argmax(width))
-                lo, hi = cell.lo.copy(), cell.hi.copy()
-                third = width[d_split] / 3.0
-                children = []
-                for k in range(3):
-                    c_lo, c_hi = lo.copy(), hi.copy()
-                    c_lo[d_split] = lo[d_split] + k * third
-                    c_hi[d_split] = lo[d_split] + (k + 1) * third
-                    x = cell.x.copy()
-                    x[d_split] = 0.5 * (c_lo[d_split] + c_hi[d_split])
-                    children.append((c_lo, c_hi, x))
                 cell.leaf = False
-                if h + 1 > depth_T:
+                if h + 1 >= len(tree):
                     tree.append([])
-                    depth_T += 1
-                # batched GP-UCB screen of the three centers
-                centers = np.stack([c[2] for c in children])
-                if gp is not None:
-                    ucb = self._ucb(gp, centers)
-                else:
-                    ucb = np.full(3, math.inf)
-                for (c_lo, c_hi, x), u in zip(children, ucb):
-                    if np.allclose(x, cell.x):
-                        # center child inherits the parent's evaluation
-                        child = _Cell(c_lo, c_hi, x, cell.f, sampled=cell.sampled)
-                    elif u >= LB and evals < self.max_evals:
-                        child = _Cell(c_lo, c_hi, x, evaluate(x), sampled=True)
-                        LB = max(LB, child.f)
+                left, center, right = _split3(cell.lo, cell.hi, cell.x)
+                for (c_lo, c_hi, x) in (left, right):
+                    if gp is not None:
+                        ucb = float(self._ucb(gp, x[None], self.M)[0])
                     else:
-                        # GP screen failed: stand in with the posterior mean
-                        est = (float(self._moments(gp, x[None])[0][0])
-                               if gp is not None else -math.inf)
-                        child = _Cell(c_lo, c_hi, x, est, sampled=False)
-                    tree[h + 1].append(child)
+                        ucb = _INF
+                    if gp is not None and (ucb - LB) < 1e-6:
+                        # GP screen: optimistic estimate stands in
+                        mu, var = self._moments(gp, x[None])
+                        est = float(mu[0]
+                                    + self._varsigma(self.M)
+                                    * math.sqrt(max(float(var[0]), 0.0)))
+                        self.M += 1
+                        tree[h + 1].append(_Cell(c_lo, c_hi, x, est,
+                                                 sampled=False))
+                    elif evals < self.max_evals:
+                        y = evaluate(x)
+                        LB = max(LB, y)
+                        b_hi_max_2 = max(b_hi_max_2, y)
+                        tree[h + 1].append(_Cell(c_lo, c_hi, x, y,
+                                                 sampled=True))
+                    else:
+                        tree[h + 1].append(_Cell(c_lo, c_hi, x, -_INF,
+                                                 sampled=False))
+                # center child inherits the parent's evaluation
+                c_lo, c_hi, x = center
+                tree[h + 1].append(_Cell(c_lo, c_hi, x, cell.f,
+                                         sampled=cell.sampled))
                 split_any = True
+
+            # ---- XI adaptation (imgpo.hpp:371-376) ----
+            if abs(LB_old - LB) < 1e-6:
+                XI = max(XI - 0.5, 1.0)
+            else:
+                XI = XI + 4.0
+            LB_old = LB
+
             if not split_any:
                 break
+
+        if self.hp_opt is not None and len(self.X) >= 2:
+            gp = self._fit_gp(capacity)
+            self._final_gp = self.hp_opt(gp)        # imgpo.hpp:379-380
         return self
 
     @property

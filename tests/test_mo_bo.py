@@ -132,3 +132,24 @@ def test_config_system():
     import pytest as _pytest
     with _pytest.raises(KeyError):
         cfg.override("bogus", 1)
+
+
+def test_imgpo_fidelity_branin():
+    """Full-fidelity IMGPO (UCB_IMGPO + M counter + xi-lookahead) finds
+    Branin's optimum data-efficiently and actually exercises the GP screen
+    (imgpo.hpp:86-417)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from limbo_tpu.benchmarks.functions import BRANIN
+    from limbo_tpu.bo.imgpo import IMGPO
+
+    f = BRANIN.as_max_objective()
+    algo = IMGPO(max_evals=45, dtype=jnp.float64)
+    algo.optimize(lambda x: np.asarray(f(jnp.asarray(x))), dim=2)
+    acc = BRANIN.accuracy(-algo.best_value)
+    assert acc < 0.1, acc
+    # the GP screen must have replaced at least one evaluation
+    assert algo.M > 1
+    # and the evaluation budget is respected
+    assert len(algo.Y) <= 45
