@@ -123,6 +123,7 @@ class BOptimizer:
                  stats_enabled: bool = True,
                  res_base_dir: Optional[str] = None,
                  use_query_cache: bool = False,
+                 cache_fast_update: bool = False,
                  cache_refresh_period: int = 64,
                  max_model_points: Optional[int] = None,
                  model_type: str = "gp",
@@ -145,6 +146,9 @@ class BOptimizer:
         # matmul-only large-n path: maintain K^{-1} by O(n^2) block updates
         # and query through it (no triangular solves on the hot loop)
         self.use_query_cache = use_query_cache
+        # matmul-only cached adds (no triangular solves; more f32 drift —
+        # see gp.add_sample_cached); pair with a small refresh period
+        self.cache_fast_update = cache_fast_update
         # rebuild K^{-1} exactly every N cached adds (bounds f32 drift of
         # the O(n^2) block updates over long horizons)
         self.cache_refresh_period = cache_refresh_period
@@ -363,8 +367,10 @@ class BOptimizer:
     def _add_cached(self, gp, cache, x, y):
         if getattr(self, "_add_cached_jit", None) is None:
             # donate gp+cache: K^{-1}/L update in place (no 2x n^2 copies)
-            self._add_cached_jit = jax.jit(gp_mod.add_sample_cached,
-                                           donate_argnums=(0, 1))
+            fast = self.cache_fast_update
+            self._add_cached_jit = jax.jit(
+                partial(gp_mod.add_sample_cached, fast_update=fast),
+                donate_argnums=(0, 1))
         return self._add_cached_jit(gp, cache, x, y)
 
     def _add_sparse(self, gp, x, y):
@@ -465,7 +471,9 @@ class BOptimizer:
                 res = agg_opt(acq_fn, start, k_prop, bounded)
                 y = f(res.x).astype(dtype)
                 if use_cache:
-                    gp, cache = gp_mod.add_sample_cached(gp, cache, res.x, y)
+                    gp, cache = gp_mod.add_sample_cached(
+                        gp, cache, res.x, y,
+                        fast_update=self.cache_fast_update)
                 else:
                     gp = gp_mod.add_sample(gp, res.x, y)
                 if hp_opt is not None and hp_period > 0:

@@ -370,7 +370,8 @@ class CachedGPView:
 
 
 def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
-                      y_new: jax.Array) -> Tuple[GP, QueryCache]:
+                      y_new: jax.Array,
+                      fast_update: bool = False) -> Tuple[GP, QueryCache]:
     """add_sample + O(N^2) block-inverse update of the K^{-1} cache.
 
     Block inversion of the bordered matrix [[K, k], [k^T, kappa]]:
@@ -379,9 +380,16 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
                [-(Kinv k)^T / s, 1/s]].
     With the padded-identity convention (Kinv has an identity block beyond
     n), writing row/col i = n with these values keeps the invariant exact.
-    Everything is matmul/outer work — this is the large-n BO fast path: the
-    whole iteration (acquisition sweep via query_cached + this update) stays
-    on the MXU with no triangular solves.
+
+    The pivot vector u = K^{-1}k is computed, by default, from the
+    *maintained Cholesky factor* via two triangular solves — the drifted
+    Kinv never feeds its own update, which measured ~100x lower posterior
+    drift over 100-append f32 horizons (2e-4 vs 2e-2 max |d mu|, flat vs
+    compounding; tests/test_gp.py::test_cached_kinv_drift_bounded).
+
+    ``fast_update=True`` restores the matmul-only u = Kinv @ k path (no
+    triangular solves anywhere in the BO iteration) for latency-critical
+    loops — pair it with a small cache_refresh_period.
     """
     i = gp.n
     mask = gp.mask
@@ -392,10 +400,18 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
     k_vec = gp.kernel.gram(x_new[None, :], gp.x)[0] * mask           # (N,)
     kappa = (gp.kernel.k_diag(x_new[None, :])[0] + gp.kernel.noise
              + effective_jitter(dtype))
-    u = jnp.dot(cache.Kinv, k_vec, preferred_element_type=dtype) * mask
-    s = jnp.maximum(kappa - jnp.dot(k_vec, u), JITTER)
     N = gp.capacity
     e_i = (jnp.arange(N) == i).astype(dtype)
+    if fast_update:
+        u = jnp.dot(cache.Kinv, k_vec, preferred_element_type=dtype) * mask
+        s = jnp.maximum(kappa - jnp.dot(k_vec, u), JITTER)
+        # rank-1 Cholesky append without a solve: u = K^{-1}k = L^{-T}L^{-1}k
+        # implies l = L^{-1}k = L^T u (matvec), and l.l = k.u so d = sqrt(s).
+        l = jnp.dot(gp.L.T, u, preferred_element_type=dtype)
+    else:
+        l = solve_triangular(gp.L, k_vec, lower=True)
+        u = solve_triangular(gp.L.T, l, lower=False) * mask
+        s = jnp.maximum(kappa - jnp.dot(k_vec, u), JITTER)
     # Kinv' core block += u u^T / s ; border row/col = -u/s ; corner = 1/s
     Kinv = cache.Kinv + jnp.outer(u, u) / s
     border = -u / s + 0.0 * e_i
@@ -403,9 +419,6 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
     Kinv = Kinv.at[:, i].set(border)
     Kinv = Kinv.at[i, i].set(1.0 / s)
 
-    # rank-1 Cholesky append without a solve: u = K^{-1}k = L^{-T}L^{-1}k
-    # implies l = L^{-1}k = L^T u (matvec), and l.l = k.u so d = sqrt(s).
-    l = jnp.dot(gp.L.T, u, preferred_element_type=dtype)
     d = jnp.sqrt(s)
     L = gp.L.at[i].set(l * mask + d * e_i)
 

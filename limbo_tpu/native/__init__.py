@@ -61,6 +61,11 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_int, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_ulonglong]
+    lib.lt_ehvi3d_batch.restype = None
+    lib.lt_ehvi3d_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return lib
 
@@ -122,6 +127,37 @@ def ehvi2d_host(mu: np.ndarray, sigma: np.ndarray, front: np.ndarray,
     r = jnp.asarray(ref)
     return np.asarray(jax.vmap(
         lambda m, s: ehvi_2d_max(m, s, f, r))(jnp.asarray(mu),
+                                              jnp.asarray(sigma)))
+
+
+def ehvi3d_host(mu: np.ndarray, sigma: np.ndarray, front: np.ndarray,
+                ref: np.ndarray) -> np.ndarray:
+    """Exact 3-D EHVI (maximization) for a batch of candidates — host
+    cross-check of the device box decomposition (ops/ehvi.ehvi_3d_max;
+    reference capability: src/ehvi/ehvi_sliceupdate.cc).
+
+    mu, sigma: (n, 3); front: (k, 3) non-dominated; ref: (3,).
+    """
+    mu = np.ascontiguousarray(np.atleast_2d(mu), dtype=np.float64)
+    sigma = np.ascontiguousarray(np.atleast_2d(sigma), dtype=np.float64)
+    front = np.ascontiguousarray(np.atleast_2d(front), dtype=np.float64)
+    ref = np.ascontiguousarray(ref, dtype=np.float64)
+    n = mu.shape[0]
+    lib = _load()
+    if lib is not None:
+        out = np.zeros(n, dtype=np.float64)
+        lib.lt_ehvi3d_batch(_cptr(mu), _cptr(sigma), n, _cptr(front),
+                            front.shape[0], _cptr(ref), _cptr(out))
+        return out
+    import jax
+    import jax.numpy as jnp
+
+    from limbo_tpu.ops.ehvi import ehvi_3d_max
+
+    f = jnp.asarray(front)
+    r = jnp.asarray(ref)
+    return np.asarray(jax.vmap(
+        lambda m, s: ehvi_3d_max(m, s, f, r))(jnp.asarray(mu),
                                               jnp.asarray(sigma)))
 
 

@@ -137,3 +137,80 @@ double lt_ehvi_mc(const double* mu, const double* sigma, int d,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Exact 3-D EHVI (cell-grid scheme; host cross-check of the device box
+// decomposition in limbo_tpu/ops/ehvi.py — reference capability:
+// src/ehvi/ehvi_sliceupdate.cc).  Maximization ABI, minimization internals.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// E[(u - max(y, l))^+], y ~ N(mu, s); l may be -inf.
+inline double psi_interval(double l, double u, double mu, double s) {
+  const double zu = (u - mu) / s;
+  if (std::isinf(l)) return s * pdf(zu) + (u - mu) * cdf(zu);
+  const double zl = (l - mu) / s;
+  return (u - l) * cdf(zl) + (u - mu) * (cdf(zu) - cdf(zl))
+         + s * (pdf(zu) - pdf(zl));
+}
+
+}  // namespace
+
+extern "C" {
+
+void lt_ehvi3d_batch(const double* mu, const double* sigma, int n_cand,
+                     const double* front, int k, const double* ref,
+                     double* out) {
+  const double inf = std::numeric_limits<double>::infinity();
+  // negate to minimization and clip into the ref box
+  const double r1 = -ref[0], r2 = -ref[1], r3 = -ref[2];
+  std::vector<double> fx(k), fy(k), fz(k);
+  for (int i = 0; i < k; ++i) {
+    fx[i] = std::min(-front[3 * i + 0], r1);
+    fy[i] = std::min(-front[3 * i + 1], r2);
+    fz[i] = std::min(-front[3 * i + 2], r3);
+  }
+  std::vector<double> ex(k + 2), ey(k + 2);
+  {
+    std::vector<double> xs(fx), ys(fy);
+    std::sort(xs.begin(), xs.end());
+    std::sort(ys.begin(), ys.end());
+    ex[0] = -inf; ey[0] = -inf;
+    for (int i = 0; i < k; ++i) { ex[i + 1] = xs[i]; ey[i + 1] = ys[i]; }
+    ex[k + 1] = r1; ey[k + 1] = r2;
+  }
+  // z cutoff per cell: zeta_ij = min{ fz : fx <= ex[i], fy <= ey[j] }
+  std::vector<double> zhi((k + 1) * (k + 1));
+  for (int i = 0; i <= k; ++i) {
+    for (int j = 0; j <= k; ++j) {
+      double zeta = inf;
+      for (int p = 0; p < k; ++p)
+        if (fx[p] <= ex[i] && fy[p] <= ey[j]) zeta = std::min(zeta, fz[p]);
+      zhi[i * (k + 1) + j] = std::min(zeta, r3);
+    }
+  }
+  for (int c = 0; c < n_cand; ++c) {
+    const double m1 = -mu[3 * c], m2 = -mu[3 * c + 1], m3 = -mu[3 * c + 2];
+    const double s1 = std::max(sigma[3 * c], 1e-12);
+    const double s2 = std::max(sigma[3 * c + 1], 1e-12);
+    const double s3 = std::max(sigma[3 * c + 2], 1e-12);
+    // precompute per-axis interval factors
+    std::vector<double> px(k + 1), py(k + 1);
+    for (int i = 0; i <= k; ++i)
+      px[i] = psi_interval(ex[i], ex[i + 1], m1, s1);
+    for (int j = 0; j <= k; ++j)
+      py[j] = psi_interval(ey[j], ey[j + 1], m2, s2);
+    double total = 0.0;
+    for (int i = 0; i <= k; ++i) {
+      if (px[i] <= 0.0) continue;
+      for (int j = 0; j <= k; ++j) {
+        const double pz = psi_interval(-inf, zhi[i * (k + 1) + j], m3, s3);
+        total += px[i] * py[j] * std::max(pz, 0.0);
+      }
+    }
+    out[c] = total;
+  }
+}
+
+}  // extern "C"

@@ -51,9 +51,16 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-# below this size stock XLA Cholesky is already fine (and compile is cheaper)
-BLOCKED_MIN_N = 4096
-DEFAULT_BLOCK = 512
+# Measured on v5e (docs/BENCHMARKS.md): TPU Cholesky of ANY formulation is
+# bound by its length-n sequential dependency chain, and stock XLA already
+# sits near that latency floor (n=10240: 26.7 ms steady-state; round 1's
+# 105-165 ms included ~30 ms/dispatch tunnel RPC).  The blocked path reaches
+# parity at 8-10k and wins modestly from ~12k up (1.07x at 16k, B=256) —
+# so the dispatch only switches over where it actually helps.  The decisive
+# win of this module is the GEMM-only triangular inverse (K^{-1} cache
+# builds, Cholesky VJP) — see tri_inv_blocked.
+BLOCKED_MIN_N = 12288
+DEFAULT_BLOCK = 256
 PIVOT_W = 16          # micro-pivot width inside the panel kernel
 
 HIGHEST = jax.lax.Precision.HIGHEST

@@ -1,0 +1,122 @@
+"""Weak-scaling benchmark over the device mesh (SURVEY.md §2.4).
+
+Measures, across 1..N devices (virtual CPU devices by default — set
+JAX_PLATFORMS/XLA_FLAGS accordingly; on a real slice the same code rides
+ICI):
+
+  * restart axis: `sharded_restart_opt` with a fixed per-device restart
+    budget (weak scaling) — reports restarts/s and parallel efficiency
+    vs the 1-device rate;
+  * rows axis: `row_sharded_posterior_mean` with fixed rows per device —
+    reports effective GFLOP/s of the psum-reduced kernel matvec.
+
+Writes scaling_results/scaling.json (+ a markdown table on stdout).
+
+NOTE when run with virtual devices: efficiency is only meaningful up to the
+physical core count (this image: 4 cores for 8 virtual devices) — virtual
+devices beyond that timeshare cores by construction.  The json records
+`physical_cores` so the table can be read honestly.
+
+Usage:  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python scripts/scaling_bench.py [out_dir]
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from limbo_tpu.kernels import SquaredExpARD
+from limbo_tpu.opt.gradient import Rprop
+from limbo_tpu.parallel.mesh import make_mesh
+from limbo_tpu.parallel.sharded import (row_sharded_posterior_mean,
+                                        sharded_restart_opt)
+
+
+def _time(fn, *args, reps=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_restarts(nd: int, restarts_per_device: int = 512,
+                   ascent_steps: int = 100, d: int = 6):
+    mesh = make_mesh(nd, axis_name="restarts")
+    target = jnp.linspace(0.2, 0.8, d)
+
+    def fun(x):
+        return -jnp.sum((x - target) ** 2)
+
+    sub = Rprop(iterations=ascent_steps)
+    key = jax.random.PRNGKey(0)
+    init = jnp.full((d,), 0.5, dtype=jnp.float32)
+
+    run = jax.jit(lambda k: sharded_restart_opt(
+        mesh, sub, fun, init, k, True,
+        restarts_per_device=restarts_per_device))
+    t = _time(run, key)
+    total = nd * restarts_per_device
+    return total / t, t
+
+
+def bench_rows(nd: int, rows_per_device: int = 4096, d: int = 16,
+               q: int = 1024):
+    mesh = make_mesh(nd, axis_name="rows")
+    N = nd * rows_per_device
+    key = jax.random.PRNGKey(1)
+    kx, ka, kq = jax.random.split(key, 3)
+    X = jax.random.uniform(kx, (N, d), dtype=jnp.float32)
+    alpha = jax.random.normal(ka, (N, 1), dtype=jnp.float32)
+    Xq = jax.random.uniform(kq, (q, d), dtype=jnp.float32)
+    mean_q = jnp.zeros((q, 1), dtype=jnp.float32)
+    kernel = SquaredExpARD.create(dim=d, dtype=jnp.float32)
+
+    run = jax.jit(lambda X, a, Xq: row_sharded_posterior_mean(
+        mesh, kernel, X, a, mean_q, Xq, axis="rows"))
+    t = _time(run, X, alpha, Xq)
+    # gram build ~ q*N*(3d) flops + matvec 2*q*N
+    flops = q * N * (3 * d + 2)
+    return flops / t / 1e9, t
+
+
+def main(out_dir: str = "scaling_results"):
+    os.makedirs(out_dir, exist_ok=True)
+    n_dev = len(jax.devices())
+    cores = os.cpu_count()
+    sizes = [n for n in (1, 2, 4, 8) if n <= n_dev]
+    results = {"platform": jax.default_backend(),
+               "devices": n_dev, "physical_cores": cores,
+               "restart_axis": {}, "rows_axis": {}}
+    base_rate = None
+    print(f"| devices | restarts/s | efficiency | matvec GFLOP/s |")
+    print(f"|---|---|---|---|")
+    for nd in sizes:
+        rate, t = bench_restarts(nd)
+        gfs, t2 = bench_rows(nd)
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (nd * base_rate)
+        results["restart_axis"][str(nd)] = {
+            "restarts_per_s": rate, "time_s": t, "efficiency": eff}
+        results["rows_axis"][str(nd)] = {"gflops": gfs, "time_s": t2}
+        print(f"| {nd} | {rate:.1f} | {eff*100:.0f}% | {gfs:.2f} |")
+    with open(os.path.join(out_dir, "scaling.json"), "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(f"wrote {out_dir}/scaling.json")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -144,3 +144,21 @@ def test_ehvi_3d_differentiable():
         jnp.asarray([-0.4, -0.4, -0.4]))
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.any(np.asarray(g) != 0.0)
+
+
+def test_native_3d_matches_device():
+    """Host C++ cell-grid vs device box decomposition (the reference
+    cross-validates its slice-update scheme the same way)."""
+    from limbo_tpu.native import ehvi3d_host
+
+    front = -FRONT3_MIN
+    ref = -REF3_MIN
+    mus = np.array([[-0.4, -0.5, -0.45], [-0.1, -0.9, -0.5],
+                    [-0.9, -0.9, -0.9]])
+    sigmas = np.array([[0.2, 0.15, 0.25], [0.3, 0.1, 0.2],
+                       [0.05, 0.05, 0.05]])
+    host = ehvi3d_host(mus, sigmas, front, ref)
+    for i in range(len(mus)):
+        dev = float(ehvi_3d_max(jnp.asarray(mus[i]), jnp.asarray(sigmas[i]),
+                                jnp.asarray(front), jnp.asarray(ref)))
+        assert abs(host[i] - dev) < 1e-8 * max(1.0, abs(dev)), (host[i], dev)

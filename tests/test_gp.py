@@ -285,3 +285,65 @@ def test_multi_output_bo_with_aggregator(rng):
                         aggregator=DistanceToTarget([0.0, 0.0]),
                         key=jax.random.PRNGKey(2))
     np.testing.assert_allclose(state.best_sample, [0.2, 0.8], atol=0.15)
+
+
+def test_cached_kinv_drift_bounded():
+    """f32 cached-K^{-1} block updates: posterior drift vs exact refresh
+    stays bounded over a long add_sample_cached horizon (the BO fast path's
+    correctness envelope; see scripts/drift_bench.py for the full-scale
+    telemetry)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from limbo_tpu.kernels import SquaredExpARD
+    from limbo_tpu.means import DataMean
+    from limbo_tpu.models import gp as gp_mod
+
+    dtype = jnp.float32
+    n0, iters, d = 64, 100, 3
+    key = jax.random.PRNGKey(0)
+    kx, ky = jax.random.split(key)
+    X = jax.random.uniform(kx, (n0, d), dtype=dtype)
+    Y = jnp.sin(3.0 * jnp.sum(X, axis=1, keepdims=True)) \
+        + 0.1 * jax.random.normal(ky, (n0, 1), dtype=dtype)
+    kernel = SquaredExpARD.create(dim=d, dtype=dtype)
+    mean = DataMean.create(dim_out=1, dtype=dtype)
+    gp = gp_mod.fit(kernel, mean, X, Y, capacity=256)
+    cache = gp_mod.QueryCache.build(gp)
+
+    add = jax.jit(gp_mod.add_sample_cached)
+
+    def run_horizon(gp, cache, refresh_period):
+        k = jax.random.PRNGKey(1)
+        for it in range(1, iters + 1):
+            k, kx2 = jax.random.split(k)
+            x_new = jax.random.uniform(kx2, (d,), dtype=dtype)
+            y_new = jnp.sin(3.0 * jnp.sum(x_new))[None]
+            gp, cache = add(gp, cache, x_new, y_new)
+            if refresh_period and it % refresh_period == 0:
+                gp = gp_mod.recompute(gp)
+                cache = gp_mod.QueryCache.build(gp)
+        return gp, cache
+
+    def deltas(gp, cache):
+        Xq = jax.random.uniform(jax.random.PRNGKey(2), (128, d), dtype=dtype)
+        mu_c, var_c = gp_mod.query_cached(gp, cache, Xq)
+        gp_x = gp_mod.recompute(gp)
+        cache_x = gp_mod.QueryCache.build(gp_x)
+        mu_e, var_e = gp_mod.query_cached(gp_x, cache_x, Xq)
+        return (float(jnp.max(jnp.abs(mu_c - mu_e))),
+                float(jnp.max(jnp.abs(var_c - var_e))))
+
+    # default (solve-based u): drift stays at f32 noise even UNREFRESHED
+    # (the matmul-only fast_update path measured ~2e-2 on this horizon —
+    # that variant is opt-in and pairs with a small refresh period)
+    gp_raw, cache_raw = run_horizon(gp, cache, refresh_period=0)
+    d_mu_raw, d_var_raw = deltas(gp_raw, cache_raw)
+    assert d_mu_raw < 2e-3, d_mu_raw
+
+    # the shipped policy (cache_refresh_period=64 in BOptimizer) also holds
+    gp_p, cache_p = run_horizon(gp, cache, refresh_period=64)
+    d_mu, d_var = deltas(gp_p, cache_p)
+    assert d_mu < 2e-3, d_mu
+    assert d_var < 5e-3, d_var
