@@ -111,42 +111,57 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
     return 1.0 / dt
 
 
-def bench_numpy(n=N_POINTS, d=DIM, sample_queries=8):
-    """Same algorithm, NumPy f64: cached-K^{-1} queries + rank-1 update."""
+def bench_numpy(n=N_POINTS, d=DIM, iters=2):
+    """Same algorithm, NumPy f64 (OpenBLAS — an Eigen-class CPU library),
+    MEASURED end to end: a real GP fit (Cholesky + K^{-1}), then full BO
+    iterations executing every posterior evaluation of the TPU loop's
+    acquisition schedule (30 ascent steps x 32-restart batches + the
+    1024-candidate sweep + final evals) against the real cached K^{-1},
+    plus the rank-1 update.  The baseline is NOT charged for gradient work
+    (the TPU loop differentiates through every query), so the reported
+    speedup is a lower bound."""
     rng = np.random.default_rng(0)
     X = rng.uniform(size=(n, d))
-    # stand-in with the right shape/layout: the baseline's per-query cost
-    # is the O(n^2) streaming matvec, independent of Kinv's values
-    Kinv = np.full((n, n), 1e-4)
-    alpha = rng.standard_normal((n, 1))
+    Y = np.sin(3.0 * X.sum(axis=1, keepdims=True)) \
+        + 0.1 * rng.standard_normal((n, 1))
 
     def sqdist(Aq, B):
         return ((Aq * Aq).sum(1)[:, None] + (B * B).sum(1)[None, :]
                 - 2 * Aq @ B.T)
 
-    def query(xq):
-        ks = np.exp(-0.5 * sqdist(xq, X))         # (q, n)
+    _log("numpy f64 fit (chol + inverse)...")
+    t0 = time.perf_counter()
+    K = np.exp(-0.5 * sqdist(X, X)) + 1e-2 * np.eye(n)
+    L = np.linalg.cholesky(K)
+    Linv = np.linalg.solve(L, np.eye(n))
+    Kinv = Linv.T @ Linv
+    alpha = Kinv @ Y
+    t_fit = time.perf_counter() - t0
+    _log(f"numpy fit: {t_fit:.1f}s")
+
+    def query(Xq):
+        ks = np.exp(-0.5 * sqdist(Xq, X))         # (q, n)
         mu = ks @ alpha
         t = ks @ Kinv                             # O(q n^2) — dominates
         var = 1.0 - (t * ks).sum(1)
         return mu, var
 
-    xq = rng.uniform(size=(1, d))
-    query(xq)                                     # warm
     t0 = time.perf_counter()
-    for _ in range(sample_queries):
-        query(xq)
-    per_query = (time.perf_counter() - t0) / sample_queries
-
-    # rank-1 update: u = Kinv k (O(n^2)) + outer-product update (O(n^2))
-    k = rng.standard_normal((n,))
-    t0 = time.perf_counter()
-    u = Kinv @ k
-    s = 1.0 + k @ u
-    Kinv = Kinv + np.outer(u, u) / s
-    t_update = time.perf_counter() - t0
-
-    t_iter = per_query * QUERIES_PER_ITER + t_update
+    for it in range(iters):
+        xs = rng.uniform(size=(RESTARTS, d))
+        for _ in range(ASCENT_STEPS):             # ascent-step queries
+            mu, var = query(xs)
+            xs = np.clip(xs + 1e-3 * rng.standard_normal(xs.shape), 0, 1)
+        query(rng.uniform(size=(SWEEP, d)))       # dense sweep
+        query(xs)                                 # final restart evals
+        # rank-1 cached update (same block-inverse scheme)
+        k = np.exp(-0.5 * sqdist(rng.uniform(size=(1, d)), X))[0]
+        u = Kinv @ k
+        s_piv = max(1.0 + 1e-2 - k @ u, 1e-10)
+        Kinv += np.outer(u, u) / s_piv
+        alpha = Kinv @ Y
+    t_iter = (time.perf_counter() - t0) / iters
+    _log(f"numpy iteration: {t_iter:.1f}s")
     return 1.0 / t_iter
 
 
@@ -154,11 +169,14 @@ def main():
     iters_tpu = bench_tpu()
     _log(f"tpu: {iters_tpu:.2f} iters/s")
     iters_np = bench_numpy()
-    _log(f"numpy baseline: {iters_np:.4f} iters/s")
+    _log(f"numpy baseline (measured end-to-end): {iters_np:.4f} iters/s")
     print(json.dumps({
         "metric": "bo_iterations_per_s_n10k",
         "value": round(iters_tpu, 3),
-        "unit": f"BO iters/s @ n=10k obs, d=8, {QUERIES_PER_ITER} posterior evals/iter, f32",
+        "unit": (f"BO iters/s @ n=10k obs, d=8, {QUERIES_PER_ITER} posterior "
+                 "evals/iter, f32; vs_baseline = measured same-algorithm "
+                 "NumPy f64 loop (lower bound: baseline not charged for "
+                 "gradient work)"),
         "vs_baseline": round(iters_tpu / iters_np, 1),
     }))
 

@@ -1,3 +1,4 @@
+from limbo_tpu.parallel import multihost
 from limbo_tpu.parallel.mesh import make_mesh, make_mesh_2d, replicated, shard_batch
 from limbo_tpu.parallel.sharded import (
     row_sharded_posterior_mean,
@@ -6,5 +7,5 @@ from limbo_tpu.parallel.sharded import (
 
 __all__ = [
     "make_mesh", "make_mesh_2d", "replicated", "shard_batch",
-    "sharded_restart_opt", "row_sharded_posterior_mean",
+    "sharded_restart_opt", "row_sharded_posterior_mean", "multihost",
 ]
