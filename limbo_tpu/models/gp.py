@@ -42,7 +42,7 @@ from limbo_tpu.kernels.base import JITTER, effective_jitter
 from limbo_tpu.means.means import prepare_mean
 from limbo_tpu.ops.chol import cholesky as chol_dispatch
 from limbo_tpu.ops.chol import tri_inv as tri_inv_dispatch
-from limbo_tpu.ops.chol import _use_blocked
+from limbo_tpu.ops.chol import use_blocked_tri
 from limbo_tpu.utils.maths import masked_identity_gram
 
 DEFAULT_CAPACITY = 256
@@ -285,7 +285,7 @@ class QueryCache:
         triangular_solve panels (same workspace bound, much faster).
         """
         N = gp.capacity
-        if _use_blocked(N, None):
+        if use_blocked_tri(N):
             Linv = tri_inv_dispatch(gp.L)
             Kinv = jnp.dot(Linv.T, Linv, preferred_element_type=gp.x.dtype,
                            precision=jax.lax.Precision.HIGHEST)

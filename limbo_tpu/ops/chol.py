@@ -60,6 +60,10 @@ from jax.experimental import pallas as pl
 # win of this module is the GEMM-only triangular inverse (K^{-1} cache
 # builds, Cholesky VJP) — see tri_inv_blocked.
 BLOCKED_MIN_N = 12288
+# the GEMM-only triangular inverse wins much earlier than the factorization:
+# measured 1.53x over the scan-of-triangular-solves K^{-1} build at n=8192,
+# 1.75x at 10240, 1.63x at 16384 (docs/BENCHMARKS.md)
+TRI_INV_MIN_N = 4096
 DEFAULT_BLOCK = 256
 PIVOT_W = 16          # micro-pivot width inside the panel kernel
 
@@ -374,16 +378,21 @@ def tri_inv_blocked(L: jax.Array, block: int = DEFAULT_BLOCK,
 # size dispatch (the entry the GP model uses) + custom VJP
 # ---------------------------------------------------------------------------
 
-def _resolve_min(min_blocked) -> int:
-    """None -> backend default: blocked above BLOCKED_MIN_N on TPU, never on
-    CPU/GPU (stock LAPACK/XLA paths are already good there)."""
+def _resolve_min(min_blocked, default=None) -> int:
+    """None -> backend default: blocked above the given floor on TPU, never
+    on CPU/GPU (stock LAPACK/XLA paths are already good there)."""
     if min_blocked is not None:
         return min_blocked
-    return BLOCKED_MIN_N if jax.default_backend() == "tpu" else 1 << 30
+    floor = BLOCKED_MIN_N if default is None else default
+    return floor if jax.default_backend() == "tpu" else 1 << 30
 
 
 def _use_blocked(n: int, min_blocked) -> bool:
     return n >= _resolve_min(min_blocked)
+
+
+def use_blocked_tri(n: int, min_blocked=None) -> bool:
+    return n >= _resolve_min(min_blocked, default=TRI_INV_MIN_N)
 
 
 def _cholesky_impl(A: jax.Array, block: int, min_blocked) -> jax.Array:
@@ -394,8 +403,8 @@ def _cholesky_impl(A: jax.Array, block: int, min_blocked) -> jax.Array:
 
 def tri_inv(L: jax.Array, block: int = DEFAULT_BLOCK,
             min_blocked=None) -> jax.Array:
-    """L^{-1} for lower-triangular L, size-dispatched like `cholesky`."""
-    if _use_blocked(L.shape[0], min_blocked):
+    """L^{-1} for lower-triangular L, size-dispatched (TRI_INV_MIN_N)."""
+    if use_blocked_tri(L.shape[0], min_blocked):
         return tri_inv_blocked(L, block=block)
     return jax.scipy.linalg.solve_triangular(
         L, jnp.eye(L.shape[0], dtype=L.dtype), lower=True)
