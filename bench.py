@@ -78,7 +78,7 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
     float(gp.L[0, 0])
     _log(f"fit done in {time.perf_counter()-t0:.0f}s")
     t0 = time.perf_counter()
-    cache = jax.jit(gp_mod.QueryCache.build)(gp)
+    cache = jax.jit(partial(gp_mod.QueryCache.build, with_K=True))(gp)
     float(cache.Kinv[0, 0])
     _log(f"cache built in {time.perf_counter()-t0:.0f}s")
 
@@ -96,7 +96,10 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
         start = jnp.full((gp.dim_in,), 0.5, dtype=gp.x.dtype)
         res = opt(acq_fn, start, key, True)
         y = jnp.sin(3.0 * jnp.sum(res.x))[None]
-        return gp_mod.add_sample_cached(gp, cache, res.x, y)
+        # "refined" cached update: matvec-only with one iterative-refinement
+        # step — near-solve accuracy at fast-path speed (docs/BENCHMARKS.md)
+        return gp_mod.add_sample_cached(gp, cache, res.x, y,
+                                        fast_update="refined")
 
     t0 = time.perf_counter()
     gp, cache = bo_iter(gp, cache, key)

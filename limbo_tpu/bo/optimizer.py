@@ -146,8 +146,11 @@ class BOptimizer:
         # matmul-only large-n path: maintain K^{-1} by O(n^2) block updates
         # and query through it (no triangular solves on the hot loop)
         self.use_query_cache = use_query_cache
-        # matmul-only cached adds (no triangular solves; more f32 drift —
-        # see gp.add_sample_cached); pair with a small refresh period
+        # cached-add mode: False = solve-based u (most accurate, 2 solves),
+        # "refined" = matvec-only with one iterative-refinement step
+        # (near-solve accuracy, fastest accurate option), True = raw matmul
+        # u (fastest; compounding drift — pair with a small refresh period).
+        # See gp.add_sample_cached + docs/BENCHMARKS.md.
         self.cache_fast_update = cache_fast_update
         # rebuild K^{-1} exactly every N cached adds (bounds f32 drift of
         # the O(n^2) block updates over long horizons)
@@ -310,7 +313,7 @@ class BOptimizer:
             self._hp_jit = self._build_hp()
 
         if self.use_query_cache and state.cache is None:
-            state.cache = jax.jit(gp_mod.QueryCache.build)(state.gp)
+            state.cache = self._build_cache(state.gp)
 
         state.key = key
         while not self._stopped(state):
@@ -335,7 +338,7 @@ class BOptimizer:
                         (state.total_iterations + 1)
                         % self.cache_refresh_period == 0):
                     state.gp = gp_mod.recompute(state.gp)
-                    state.cache = jax.jit(gp_mod.QueryCache.build)(state.gp)
+                    state.cache = self._build_cache(state.gp)
             elif self.max_model_points is not None:
                 state.gp = self._add_sparse(state.gp, x_next,
                                             jnp.asarray(y, dtype=self.dtype))
@@ -353,7 +356,7 @@ class BOptimizer:
                     and state.total_iterations % self.hp_period == 0):
                 state.gp = self._hp_jit(state.gp, k_hp)
                 if self.use_query_cache:
-                    state.cache = jax.jit(gp_mod.QueryCache.build)(state.gp)
+                    state.cache = self._build_cache(state.gp)
             self._update_stats(state)
         return state
 
@@ -363,6 +366,13 @@ class BOptimizer:
 
             self._add_jit = jax.jit(add_sample_any)
         return self._add_jit(gp, x, y)
+
+    def _build_cache(self, gp):
+        if getattr(self, "_cache_jit", None) is None:
+            with_K = self.cache_fast_update == "refined"
+            self._cache_jit = jax.jit(
+                partial(gp_mod.QueryCache.build, with_K=with_K))
+        return self._cache_jit(gp)
 
     def _add_cached(self, gp, cache, x, y):
         if getattr(self, "_add_cached_jit", None) is None:
@@ -450,7 +460,8 @@ class BOptimizer:
 
             gp, _ = jax.lax.scan(seed, gp0, (X0, Y0.astype(dtype)))
             use_cache = self.use_query_cache
-            cache = (gp_mod.QueryCache.build(gp) if use_cache
+            with_K = self.cache_fast_update == "refined"
+            cache = (gp_mod.QueryCache.build(gp, with_K=with_K) if use_cache
                      else gp_mod.QueryCache(Kinv=jnp.zeros((1, 1), dtype)))
             best0 = jnp.max(jnp.where(
                 jnp.arange(capacity) < gp.n,
@@ -483,7 +494,7 @@ class BOptimizer:
                     if use_cache:
                         cache = jax.lax.cond(
                             (it + 1) % hp_period == 0,
-                            lambda g: gp_mod.QueryCache.build(g),
+                            lambda g: gp_mod.QueryCache.build(g, with_K=with_K),
                             lambda g: cache, gp)
                 agg_y = aggregator(y)
                 best = jnp.maximum(best, agg_y)

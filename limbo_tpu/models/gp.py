@@ -269,9 +269,15 @@ class QueryCache:
     """
 
     Kinv: jax.Array
+    # Optionally the (masked, noise+jitter) training covariance itself —
+    # enables the "refined" cached update: one iterative-refinement step
+    # u <- u + Kinv (k - K u) replaces two serialized triangular solves
+    # (matvec-only, MXU/bandwidth-bound) while matching their accuracy.
+    K: Optional[jax.Array] = None
 
     @classmethod
-    def build(cls, gp: GP, block: int = 1024) -> "QueryCache":
+    def build(cls, gp: GP, block: int = 1024,
+              with_K: bool = False) -> "QueryCache":
         """Blocked inversion: Linv column-panels via scanned triangular
         solves, then Kinv = Linv^T Linv (one matmul).
 
@@ -285,11 +291,13 @@ class QueryCache:
         triangular_solve panels (same workspace bound, much faster).
         """
         N = gp.capacity
+        K = (masked_identity_gram(gp.kernel.gram_train(gp.x), gp.mask)
+             if with_K else None)
         if use_blocked_tri(N):
             Linv = tri_inv_dispatch(gp.L)
             Kinv = jnp.dot(Linv.T, Linv, preferred_element_type=gp.x.dtype,
                            precision=jax.lax.Precision.HIGHEST)
-            return cls(Kinv=Kinv)
+            return cls(Kinv=Kinv, K=K)
         block = min(block, N)
         nb = -(-N // block)
         Npad = nb * block
@@ -306,7 +314,7 @@ class QueryCache:
         # so stacked panels give Linv^T with shape (N, N); Kinv = Linv^T @ Linv
         LinvT = Linv                                             # (N, N) = Linv^T
         Kinv = jnp.dot(LinvT, LinvT.T, preferred_element_type=gp.x.dtype)
-        return cls(Kinv=Kinv)
+        return cls(Kinv=Kinv, K=K)
 
 
 def query_cached(gp: GP, cache: QueryCache,
@@ -371,7 +379,7 @@ class CachedGPView:
 
 def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
                       y_new: jax.Array,
-                      fast_update: bool = False) -> Tuple[GP, QueryCache]:
+                      fast_update=False) -> Tuple[GP, QueryCache]:
     """add_sample + O(N^2) block-inverse update of the K^{-1} cache.
 
     Block inversion of the bordered matrix [[K, k], [k^T, kappa]]:
@@ -387,9 +395,15 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
     drift over 100-append f32 horizons (2e-4 vs 2e-2 max |d mu|, flat vs
     compounding; tests/test_gp.py::test_cached_kinv_drift_bounded).
 
-    ``fast_update=True`` restores the matmul-only u = Kinv @ k path (no
-    triangular solves anywhere in the BO iteration) for latency-critical
-    loops — pair it with a small cache_refresh_period.
+    Three update modes (measured at n=10240 f32, docs/BENCHMARKS.md):
+      * ``fast_update=False``  — u by two triangular solves on L: most
+        accurate (~2e-4 drift over 100 appends), ~54 ms/iter (solves
+        serialize).
+      * ``fast_update="refined"`` — u = Kinv k polished by one iterative-
+        refinement step against the cached K (requires
+        QueryCache.build(with_K=True)): matvec-only, near-solve accuracy.
+      * ``fast_update=True``   — raw u = Kinv k: fastest (~26 ms/iter),
+        compounding drift — pair with a small cache_refresh_period.
     """
     i = gp.n
     mask = gp.mask
@@ -402,7 +416,15 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
              + effective_jitter(dtype))
     N = gp.capacity
     e_i = (jnp.arange(N) == i).astype(dtype)
-    if fast_update:
+    if fast_update == "refined":
+        if cache.K is None:
+            raise ValueError("refined updates need QueryCache.build(with_K=True)")
+        u = jnp.dot(cache.Kinv, k_vec, preferred_element_type=dtype) * mask
+        r = k_vec - jnp.dot(cache.K, u, preferred_element_type=dtype)
+        u = (u + jnp.dot(cache.Kinv, r, preferred_element_type=dtype)) * mask
+        s = jnp.maximum(kappa - jnp.dot(k_vec, u), JITTER)
+        l = jnp.dot(gp.L.T, u, preferred_element_type=dtype)
+    elif fast_update:
         u = jnp.dot(cache.Kinv, k_vec, preferred_element_type=dtype) * mask
         s = jnp.maximum(kappa - jnp.dot(k_vec, u), JITTER)
         # rank-1 Cholesky append without a solve: u = K^{-1}k = L^{-T}L^{-1}k
@@ -422,6 +444,11 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
     d = jnp.sqrt(s)
     L = gp.L.at[i].set(l * mask + d * e_i)
 
+    K_new = cache.K
+    if K_new is not None:
+        k_row = k_vec + kappa * e_i
+        K_new = K_new.at[i, :].set(k_row).at[:, i].set(k_row)
+
     x = gp.x.at[i].set(x_new)
     y = gp.y.at[i].set(y_new)
     gp2 = gp.replace(x=x, y=y, n=i + 1, L=L)
@@ -429,7 +456,7 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
     centered = (y - mean(x)) * gp2.mask[:, None]
     # alpha via the cached inverse (O(N^2 p) matmul, no solves)
     alpha = jnp.dot(Kinv, centered, preferred_element_type=dtype)
-    return gp2.replace(mean=mean, alpha=alpha), QueryCache(Kinv=Kinv)
+    return gp2.replace(mean=mean, alpha=alpha), QueryCache(Kinv=Kinv, K=K_new)
 
 
 # ---------------------------------------------------------------------------

@@ -347,3 +347,46 @@ def test_cached_kinv_drift_bounded():
     d_mu, d_var = deltas(gp_p, cache_p)
     assert d_mu < 2e-3, d_mu
     assert d_var < 5e-3, d_var
+
+
+def test_cached_kinv_refined_mode_drift():
+    """fast_update="refined" (matvec-only + one iterative-refinement step)
+    matches the solve path's drift envelope — the bench.py production mode."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from limbo_tpu.kernels import SquaredExpARD
+    from limbo_tpu.means import DataMean
+    from limbo_tpu.models import gp as gp_mod
+
+    dtype = jnp.float32
+    d = 3
+    key = jax.random.PRNGKey(0)
+    kx, ky = jax.random.split(key)
+    X = jax.random.uniform(kx, (64, d), dtype=dtype)
+    Y = jnp.sin(3.0 * jnp.sum(X, axis=1, keepdims=True)) \
+        + 0.1 * jax.random.normal(ky, (64, 1), dtype=dtype)
+    gp = gp_mod.fit(SquaredExpARD.create(dim=d, dtype=dtype),
+                    DataMean.create(dim_out=1, dtype=dtype), X, Y,
+                    capacity=256)
+    cache = gp_mod.QueryCache.build(gp, with_K=True)
+    add = jax.jit(functools.partial(gp_mod.add_sample_cached,
+                                    fast_update="refined"))
+    k = jax.random.PRNGKey(1)
+    for _ in range(100):
+        k, kx2 = jax.random.split(k)
+        x_new = jax.random.uniform(kx2, (d,), dtype=dtype)
+        gp, cache = add(gp, cache, x_new, jnp.sin(3.0 * jnp.sum(x_new))[None])
+
+    Xq = jax.random.uniform(jax.random.PRNGKey(2), (128, d), dtype=dtype)
+    mu_c, var_c = gp_mod.query_cached(gp, cache, Xq)
+    gp_x = gp_mod.recompute(gp)
+    cache_x = gp_mod.QueryCache.build(gp_x)
+    mu_e, var_e = gp_mod.query_cached(gp_x, cache_x, Xq)
+    assert float(jnp.max(jnp.abs(mu_c - mu_e))) < 2e-3
+    assert float(jnp.max(jnp.abs(var_c - var_e))) < 5e-3
+    # the maintained K stays exact (O(n) row/col appends)
+    Kex = gp_mod.masked_identity_gram(gp.kernel.gram_train(gp.x), gp.mask)
+    assert float(jnp.max(jnp.abs(cache.K - Kex))) < 1e-5
