@@ -413,6 +413,55 @@ class BOptimizer:
         for stat in self.stats:
             stat(self, state)
 
+    # -- batch proposals (q-EI; no reference counterpart) --------------------
+
+    def optimize_batch(self, f: Callable, dim_in: int, q: int = 2,
+                       dim_out: int = 1, aggregator: Callable = FirstElem,
+                       key: Optional[jax.Array] = None,
+                       qei=None, restarts: int = 16,
+                       steps: int = 30) -> BOState:
+        """Batch BO: each round proposes a joint q-point batch by maximizing
+        Monte-Carlo q-EI (acqui/qei.py) and evaluates all q points.
+
+        Stop criteria count ROUNDS (a MaxIterations(30) stop means 30
+        batches = 30*q evaluations).  Covers the BASELINE "batch BO: q-EI
+        candidate batches" configuration; the reference proposes one point
+        per iteration only.
+        """
+        from limbo_tpu.acqui.qei import propose_batch
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        capacity = self._capacity(extra=(q - 1) * self._max_iterations())
+        key, k_model = jax.random.split(key)
+        gp = self._make_model(dim_in, dim_out, capacity, k_model)
+        state = BOState(gp=gp, key=key, aggregator=aggregator)
+        key, k_init = jax.random.split(key)
+        X0 = self.init(k_init, dim_in, dtype=self.dtype)
+        for i in range(X0.shape[0]):
+            y = self._eval_checked(f, np.asarray(X0[i]))
+            state.gp = self._add(state.gp, X0[i],
+                                 jnp.asarray(y, dtype=self.dtype))
+        state.gp = self._refit_model(state.gp)
+
+        if getattr(self, "_propose_batch_jit", None) is None:
+            self._propose_batch_jit = jax.jit(
+                partial(propose_batch, q=q, qei=qei, restarts=restarts,
+                        steps=steps, aggregator=aggregator))
+        while not self._stopped(state):
+            state.key, k_prop = jax.random.split(state.key)
+            Xb, val = self._propose_batch_jit(state.gp, key=k_prop)
+            for j in range(q):
+                y = self._eval_checked(f, np.asarray(Xb[j]))
+                state.gp = self._add(state.gp, Xb[j],
+                                     jnp.asarray(y, dtype=self.dtype))
+            state.gp = self._refit_model(state.gp)
+            state.last_sample = np.asarray(Xb)
+            state.last_acqui_value = float(val)
+            state.iteration += 1
+            state.total_iterations += 1
+            self._update_stats(state)
+        return state
+
     # -- the fully-jitted loop ----------------------------------------------
 
     def optimize_jit(self, f: Callable, dim_in: int, dim_out: int = 1,

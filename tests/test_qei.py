@@ -68,3 +68,23 @@ def test_propose_batch(rng):
     a = np.asarray(Xb)
     assert np.all(a >= 0) and np.all(a <= 1)
     assert float(val) >= 0
+
+
+def test_boptimizer_batch_loop():
+    """propose_batch is reachable from the BO driver (batch BO rounds)."""
+    import jax
+    import numpy as np
+
+    from limbo_tpu.bo.init_designs import RandomSampling
+    from limbo_tpu.bo.optimizer import BOptimizer
+    from limbo_tpu.bo.stop import MaxIterations
+
+    def f(x):
+        return np.array([-np.sum((np.atleast_1d(x) - 0.4) ** 2)])
+
+    bo = BOptimizer(init=RandomSampling(5), stop=(MaxIterations(4),),
+                    stats_enabled=False)
+    state = bo.optimize_batch(f, dim_in=1, q=3, key=jax.random.PRNGKey(0),
+                              restarts=8, steps=15)
+    assert int(state.gp.n) == 5 + 4 * 3
+    assert state.best_value > -0.05
