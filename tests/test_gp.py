@@ -390,3 +390,49 @@ def test_cached_kinv_refined_mode_drift():
     # the maintained K stays exact (O(n) row/col appends)
     Kex = gp_mod.masked_identity_gram(gp.kernel.gram_train(gp.x), gp.mask)
     assert float(jnp.max(jnp.abs(cache.K - Kex))) < 1e-5
+
+
+def test_f32_lml_gradient_pathology_and_f64_fix():
+    """Root cause of the round-1 hp-opt accuracy regressions: on BO-like
+    clustered data with noise=1e-10 the f32 LML gradient goes NaN (Cholesky
+    at the f32 jitter floor), which Rprop sanitizes into zero steps — the
+    optimizer silently stalls.  The f64-lifted objective
+    (KernelLFOpt(objective_dtype="float64")) stays finite; the reference
+    never sees this because Eigen runs f64 throughout."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from limbo_tpu.kernels import SquaredExpARD
+    from limbo_tpu.means import DataMean
+    from limbo_tpu.models import gp as gp_mod
+
+    rng = np.random.default_rng(0)
+    X1 = rng.uniform(size=(60, 2))
+    X2 = np.clip(0.55 + 0.01 * rng.standard_normal((140, 2)), 0, 1)
+    X = np.vstack([X1, X2]).astype(np.float32)
+    Y = (np.sin(5 * X[:, :1]) * np.cos(3 * X[:, 1:2])).astype(np.float32)
+
+    mean = DataMean.create(dim_out=1, dtype=jnp.float32)
+    k32 = SquaredExpARD.create(dim=2, noise=1e-10, dtype=jnp.float32)
+    n = jnp.asarray(len(X), jnp.int32)
+    x32, y32 = jnp.asarray(X), jnp.asarray(Y)
+
+    def lml32(p):
+        return gp_mod.log_marginal_likelihood(
+            k32.with_params(p), mean, x32, y32, n)
+
+    def lml64(p):
+        k64 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, k32)
+        return gp_mod.log_marginal_likelihood(
+            k64.with_params(p.astype(jnp.float64)), mean,
+            x32.astype(jnp.float64), y32.astype(jnp.float64), n)
+
+    p = jnp.asarray(np.array([-1.0, -1.0, 0.0], dtype=np.float32))
+    g32 = np.asarray(jax.grad(lml32)(p), dtype=np.float64)
+    g64 = np.asarray(jax.grad(lml64)(p))
+    assert not np.all(np.isfinite(g32))   # the f32 pathology is real
+    assert np.all(np.isfinite(g64))       # and the f64 lift fixes it
