@@ -64,8 +64,13 @@ def default_variants() -> List[Variant]:
 
 
 def run_one(variant: Variant, fn: TestFunction, n_init: int = 10,
-            n_iters: int = 190, key=None, dtype=jnp.float32):
-    """One replicate; returns (accuracy, wall_ms, compile_ms)."""
+            n_iters: int = 190, key=None, dtype=jnp.float32,
+            measure_compile: bool = True):
+    """One replicate; returns (accuracy, wall_ms, compile_ms).
+
+    measure_compile=False skips the extra compile-probe run (replicates
+    after the first share the compiled executable, so only one run per
+    replicate is needed — halves suite wall time)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     kwargs = dict(
         acqui=variant.acqui,
@@ -96,21 +101,23 @@ def run_one(variant: Variant, fn: TestFunction, n_init: int = 10,
     bo = BOptimizer(**kwargs)
     f = fn.as_max_objective()
 
-    t0 = time.perf_counter()
+    compile_ms = 0.0
+    if measure_compile:
+        t0 = time.perf_counter()
+        state, history = bo.optimize_jit(f, dim_in=fn.dim_in, key=key,
+                                         n_iterations=n_iters)
+        jax.block_until_ready(history["best"])
+        compile_ms = (time.perf_counter() - t0) * 1e3
+        key = jax.random.split(key)[0]
+    t1 = time.perf_counter()
     state, history = bo.optimize_jit(f, dim_in=fn.dim_in, key=key,
                                      n_iterations=n_iters)
     jax.block_until_ready(history["best"])
-    wall_full = (time.perf_counter() - t0) * 1e3
-    # second run with a fresh key = steady-state time (no compile)
-    t1 = time.perf_counter()
-    state, history = bo.optimize_jit(f, dim_in=fn.dim_in,
-                                     key=jax.random.split(key)[0],
-                                     n_iterations=n_iters)
-    jax.block_until_ready(history["best"])
     wall_ms = (time.perf_counter() - t1) * 1e3
+    compile_ms = max(compile_ms - wall_ms, 0.0)
     best = float(history["best"][-1])           # maximized -f
     accuracy = fn.accuracy(-best)
-    return accuracy, wall_ms, wall_full - wall_ms
+    return accuracy, wall_ms, compile_ms
 
 
 def run_suite(variants: Optional[List[Variant]] = None,
@@ -131,7 +138,8 @@ def run_suite(variants: Optional[List[Variant]] = None,
             accs, times, compiles = [], [], []
             for rep in range(nb_reps):
                 key = jax.random.PRNGKey(1000 * rep + 7)
-                acc, ms, comp_ms = run_one(v, fn, n_init, n_iters, key, dtype)
+                acc, ms, comp_ms = run_one(v, fn, n_init, n_iters, key, dtype,
+                                           measure_compile=(rep == 0))
                 accs.append(acc)
                 times.append(ms)
                 compiles.append(comp_ms)
@@ -144,12 +152,11 @@ def run_suite(variants: Optional[List[Variant]] = None,
                 # whole-run-as-one-XLA-program design: compile cost is a
                 # first-class metric (amortized across replicates/configs
                 # by the capacity buckets + persistent cache)
-                "compile_ms": float(np.median(compiles))}
+                "compile_ms": float(compiles[0])}
             if verbose:
                 print(f"{v.name:18s} {fn.name:16s} "
                       f"acc={med_acc:.4f} time={med_ms:.1f}ms "
-                      f"compile={float(np.median(compiles)):.0f}ms",
-                      flush=True)
+                      f"compile={compiles[0]:.0f}ms", flush=True)
     with open(os.path.join(out_dir, "summary.json"), "w") as fh:
         json.dump(summary, fh, indent=1)
     return summary
