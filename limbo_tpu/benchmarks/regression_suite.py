@@ -56,7 +56,9 @@ def _make_runner(fn: RegressionFunction, dim: int, n: int, spec: ModelSpec,
     lo = jnp.asarray(bounds[:, 0], dtype=dtype)
     hi = jnp.asarray(bounds[:, 1], dtype=dtype)
     f = fn.fn
-    capacity = max(64, -(-n // 64) * 64)
+    # bucket capacities (256-multiples) so the n-grid shares compiled
+    # fit/query programs — n in {50,100,200} is ONE program per (dim, model)
+    capacity = max(256, -(-n // 256) * 256)
 
     kern = SquaredExpARD.create(dim=dim, optimize_noise=spec.optimize_noise,
                                 dtype=dtype)
