@@ -135,6 +135,22 @@ def run_suite(variants: Optional[List[Variant]] = None,
         vdir = os.path.join(out_dir, v.name)
         os.makedirs(vdir, exist_ok=True)
         for fn in functions:
+            dat = os.path.join(vdir, fn.name + ".dat")
+            # resume: a config with >= nb_reps recorded replicates is done
+            # (long tunnel runs can die to infra faults; reruns skip ahead)
+            if os.path.exists(dat):
+                with open(dat) as fh:
+                    done = sum(1 for _ in fh)
+                if done >= nb_reps:
+                    rows = np.loadtxt(dat, ndmin=2)[:nb_reps]
+                    summary[f"{v.name}/{fn.name}"] = {
+                        "accuracy": float(np.median(rows[:, 0])),
+                        "time_ms": float(np.median(rows[:, 1])),
+                        "compile_ms": 0.0}
+                    if verbose:
+                        print(f"{v.name:18s} {fn.name:16s} resumed "
+                              f"({done} replicates on disk)", flush=True)
+                    continue
             accs, times, compiles = [], [], []
             for rep in range(nb_reps):
                 key = jax.random.PRNGKey(1000 * rep + 7)

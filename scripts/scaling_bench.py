@@ -26,7 +26,16 @@ import os
 import sys
 import time
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# one thread per virtual device: XLA CPU otherwise multithreads even a
+# single device across every core, which would inflate the 1-device
+# baseline and make weak-scaling efficiency meaningless on one host
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    _flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_multi_thread_eigen" not in _flags:
+    _flags += " --xla_cpu_multi_thread_eigen=false"
+os.environ["XLA_FLAGS"] = _flags.strip()
+os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 import jax
 
@@ -42,7 +51,9 @@ from limbo_tpu.parallel.sharded import (row_sharded_posterior_mean,
                                         sharded_restart_opt)
 
 
-def _time(fn, *args, reps=5):
+def _time(fn, *args, reps=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
