@@ -87,12 +87,12 @@ def run_one(variant: Variant, fn: TestFunction, n_init: int = 10,
         # Round-1 diagnosis (docs/BENCHMARKS.md): at noise=1e-10 the f32 LML
         # landscape near the jitter floor is gradient noise once BO clusters
         # samples — the reference runs f64 Eigen throughout.  The objective
-        # is therefore lifted to f64 (the optimizer still iterates in f32)
-        # and multi-started (ParallelRepeater parity).
+        # gets a dtype-scaled conditioning ridge (objective_jitter="auto";
+        # f64 emulation on TPU is too slow for an in-loop lifted objective)
+        # and is multi-started (ParallelRepeater parity).
         kwargs["hp_opt"] = KernelLFOpt(
             optimizer=Rprop(iterations=300, eps_stop=1e-6),
-            restarts=5, epsilon=0.5,
-            objective_dtype="float64" if jax.config.jax_enable_x64 else None)
+            restarts=5, epsilon=0.5, objective_jitter="auto")
         kwargs["hp_period"] = variant.hp_period
     else:
         # bench.cpp Params: near-zero noise (interpolating GP) — the

@@ -481,17 +481,28 @@ def log_lik(gp: GP) -> jax.Array:
 
 
 def log_marginal_likelihood(kernel, mean, x: jax.Array, y: jax.Array,
-                            n: jax.Array) -> jax.Array:
+                            n: jax.Array,
+                            extra_jitter: float = 0.0) -> jax.Array:
     """LML as a pure differentiable function of (kernel, mean) params.
 
     This is the hyperparameter-learning objective; `jax.grad` of this replaces
     limbo's hand-derived compute_kernel_grad_log_lik / compute_mean_grad_log_lik
     (gp.hpp:285-337).
+
+    extra_jitter adds a parameter-independent diagonal ridge to the objective's
+    kernel matrix only (the fitted GP is untouched).  Used by the hp-opt
+    strategies as an f32 conditioning floor: candidate hyperparameters (long
+    length scales over clustered BO data) drive K's spectrum below the f32
+    Cholesky stability limit eps*lambda_max ~ eps*n, where the reference's
+    f64 Eigen pipeline (gp.hpp:285) still has ~9 digits of headroom.
     """
     N = x.shape[0]
     mask = (jnp.arange(N) < n).astype(x.dtype)
     mean = prepare_mean(mean, y, mask)
-    K = masked_identity_gram(kernel.gram_train(x), mask)
+    K = kernel.gram_train(x)
+    if extra_jitter:
+        K = K + jnp.asarray(extra_jitter, K.dtype) * jnp.eye(N, dtype=K.dtype)
+    K = masked_identity_gram(K, mask)
     L = chol_dispatch(K)       # differentiable (custom VJP, ops/chol.py)
     centered = (y - mean(x)) * mask[:, None]
     alpha = _cho_solve(L, centered)
@@ -524,13 +535,17 @@ def log_loo_cv(gp: GP) -> jax.Array:
 
 
 def log_loo_cv_fn(kernel, mean, x: jax.Array, y: jax.Array,
-                  n: jax.Array) -> jax.Array:
+                  n: jax.Array, extra_jitter: float = 0.0) -> jax.Array:
     """LOO-CV as a pure differentiable function of hyperparameters
-    (objective for KernelLooOpt; grads replace gp.hpp:354-402)."""
+    (objective for KernelLooOpt; grads replace gp.hpp:354-402).
+    extra_jitter: see log_marginal_likelihood."""
     N = x.shape[0]
     mask = (jnp.arange(N) < n).astype(x.dtype)
     mean = prepare_mean(mean, y, mask)
-    K = masked_identity_gram(kernel.gram_train(x), mask)
+    K = kernel.gram_train(x)
+    if extra_jitter:
+        K = K + jnp.asarray(extra_jitter, K.dtype) * jnp.eye(N, dtype=K.dtype)
+    K = masked_identity_gram(K, mask)
     L = chol_dispatch(K)
     centered = (y - mean(x)) * mask[:, None]
     alpha = _cho_solve(L, centered)

@@ -1,8 +1,11 @@
 """Run the FULL reference BO benchmark protocol: all 5 variants x 8
 functions x nb_reps (src/benchmarks/wscript:84-95 + bench.cpp:140-262).
 
-x64 is enabled so the hpopt variant's LML objective runs in f64 (the BO
-loop itself stays f32) — reference-parity conditioning at noise=1e-10.
+Everything runs f32 on device; the hpopt variant's LML objective carries a
+dtype-scaled conditioning ridge (KernelLFOpt objective_jitter="auto") in
+place of the reference's f64-Eigen headroom — f64 is software-emulated on
+TPU and an in-loop f64 objective both faults the tunnel's per-execution
+limit and costs ~30s per hp-opt call.
 
 Usage: python scripts/run_full_suite.py [nb_reps] [variant ...]
 """
@@ -14,10 +17,6 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import time
-
-import jax
-
-jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 

@@ -436,3 +436,17 @@ def test_f32_lml_gradient_pathology_and_f64_fix():
     g64 = np.asarray(jax.grad(lml64)(p))
     assert not np.all(np.isfinite(g32))   # the f32 pathology is real
     assert np.all(np.isfinite(g64))       # and the f64 lift fixes it
+
+    # the TPU-native fix: a dtype-scaled conditioning ridge on the objective
+    # (objective_jitter="auto") keeps the f32 gradient finite and pointing
+    # the same way as the f64 oracle — without any emulated-f64 segment
+    ridge = 32.0 * float(jnp.finfo(jnp.float32).eps) * X.shape[0]
+
+    def lml32_ridge(p):
+        return gp_mod.log_marginal_likelihood(
+            k32.with_params(p), mean, x32, y32, n, extra_jitter=ridge)
+
+    gr = np.asarray(jax.grad(lml32_ridge)(p), dtype=np.float64)
+    assert np.all(np.isfinite(gr))
+    cos = float(gr @ g64 / (np.linalg.norm(gr) * np.linalg.norm(g64)))
+    assert cos > 0.9, f"ridge gradient disagrees with f64 oracle (cos={cos})"
