@@ -98,4 +98,20 @@ class KernelMixin:
         """
         K = self.gram_core(X, X)
         n = X.shape[0]
-        return K + (self.noise + effective_jitter(K.dtype)) * jnp.eye(n, dtype=K.dtype)
+        return K + self.train_diag_add(X) * jnp.eye(n, dtype=K.dtype)
+
+    def train_diag_add(self, X: jax.Array) -> jax.Array:
+        """(n,) additive training-diagonal term: noise + scale-aware jitter.
+
+        The jitter scales with the kernel's own prior variance (k_diag) when
+        that exceeds 1: conditioning of K is relative to lambda_max ~ n *
+        k_diag, so an *absolute* floor tuned for unit-variance kernels is
+        orders of magnitude too small once hyperparameter learning drives
+        sigma^2 to match an objective with a large output range (observed:
+        SE-ARD on SixHumpCamel learns sigma^2 ~ 54, and the f32 Cholesky of
+        the refit NaNs at the absolute floor, freezing the whole BO loop).
+        At k_diag <= 1 this reduces exactly to the absolute floor.
+        """
+        kd = self.k_diag(X)
+        return self.noise + effective_jitter(kd.dtype) * jnp.maximum(
+            kd, jnp.ones((), dtype=kd.dtype))

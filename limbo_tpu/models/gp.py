@@ -158,6 +158,20 @@ def recompute(gp: GP, update_obs_mean: bool = True) -> GP:
     K = gp.kernel.gram_train(gp.x)
     K = masked_identity_gram(K, mask)
     L = chol_dispatch(K)       # blocked-GEMM + Pallas panels at large n (ops/chol.py)
+    # Jitter-escalation retry: if the factorization still went indefinite
+    # (extreme hyperparameters mid hp-opt), refactor once with a 1000x
+    # scale-aware ridge rather than poisoning every downstream query with
+    # NaNs (the reference never hits this: Eigen LLT in f64 has ~9 more
+    # digits of headroom, gp.hpp:550-571).  lax.cond pays the second
+    # Cholesky only when triggered.
+    bad = jnp.logical_not(jnp.all(jnp.isfinite(L)))
+    esc = (1000.0 * effective_jitter(K.dtype)
+           * jnp.max(jnp.abs(jnp.diagonal(K))))
+    L = jax.lax.cond(
+        bad,
+        lambda: chol_dispatch(
+            K + esc * jnp.eye(K.shape[0], dtype=K.dtype)),
+        lambda: L)
     centered = (gp.y - mean(gp.x)) * mask[:, None]
     alpha = _cho_solve(L, centered)
     return gp.replace(mean=mean, L=L, alpha=alpha)
@@ -191,10 +205,15 @@ def add_sample(gp: GP, x_new: jax.Array, y_new: jax.Array) -> GP:
 
     k_vec = gp.kernel.gram(x_new[None, :], gp.x)[0] * mask          # (N,)
     l = solve_triangular(gp.L, k_vec, lower=True)                   # (N,)
-    kxx = (gp.kernel.k_diag(x_new[None, :])[0] + gp.kernel.noise
-           + effective_jitter(dtype))
+    kxx = (gp.kernel.k_diag(x_new[None, :])[0]
+           + gp.kernel.train_diag_add(x_new[None, :])[0])
     d2 = kxx - jnp.dot(l, l)
-    d = jnp.sqrt(jnp.maximum(d2, JITTER))
+    # relative pivot floor: the f32 cancellation error of kxx - |l|^2 is
+    # ~eps * kxx, so an absolute 1e-8 floor lets the appended pivot go
+    # arbitrarily ill-conditioned once the learned signal variance is large
+    # (sigma^2 ~ 1e3-1e4 on wide-range objectives) — L's later solves then
+    # overflow to NaN after a few more appends
+    d = jnp.sqrt(jnp.maximum(d2, effective_jitter(dtype) * kxx))
 
     N = gp.capacity
     e_i = (jnp.arange(N) == i).astype(dtype)
@@ -412,8 +431,8 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
     y_new = jnp.asarray(y_new, dtype=dtype)
 
     k_vec = gp.kernel.gram(x_new[None, :], gp.x)[0] * mask           # (N,)
-    kappa = (gp.kernel.k_diag(x_new[None, :])[0] + gp.kernel.noise
-             + effective_jitter(dtype))
+    kappa = (gp.kernel.k_diag(x_new[None, :])[0]
+             + gp.kernel.train_diag_add(x_new[None, :])[0])
     N = gp.capacity
     e_i = (jnp.arange(N) == i).astype(dtype)
     if fast_update == "refined":
@@ -422,18 +441,21 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
         u = jnp.dot(cache.Kinv, k_vec, preferred_element_type=dtype) * mask
         r = k_vec - jnp.dot(cache.K, u, preferred_element_type=dtype)
         u = (u + jnp.dot(cache.Kinv, r, preferred_element_type=dtype)) * mask
-        s = jnp.maximum(kappa - jnp.dot(k_vec, u), JITTER)
+        s = jnp.maximum(kappa - jnp.dot(k_vec, u),
+                        effective_jitter(dtype) * kappa)
         l = jnp.dot(gp.L.T, u, preferred_element_type=dtype)
     elif fast_update:
         u = jnp.dot(cache.Kinv, k_vec, preferred_element_type=dtype) * mask
-        s = jnp.maximum(kappa - jnp.dot(k_vec, u), JITTER)
+        s = jnp.maximum(kappa - jnp.dot(k_vec, u),
+                        effective_jitter(dtype) * kappa)
         # rank-1 Cholesky append without a solve: u = K^{-1}k = L^{-T}L^{-1}k
         # implies l = L^{-1}k = L^T u (matvec), and l.l = k.u so d = sqrt(s).
         l = jnp.dot(gp.L.T, u, preferred_element_type=dtype)
     else:
         l = solve_triangular(gp.L, k_vec, lower=True)
         u = solve_triangular(gp.L.T, l, lower=False) * mask
-        s = jnp.maximum(kappa - jnp.dot(k_vec, u), JITTER)
+        s = jnp.maximum(kappa - jnp.dot(k_vec, u),
+                        effective_jitter(dtype) * kappa)
     # Kinv' core block += u u^T / s ; border row/col = -u/s ; corner = 1/s
     Kinv = cache.Kinv + jnp.outer(u, u) / s
     border = -u / s + 0.0 * e_i
@@ -482,7 +504,7 @@ def log_lik(gp: GP) -> jax.Array:
 
 def log_marginal_likelihood(kernel, mean, x: jax.Array, y: jax.Array,
                             n: jax.Array,
-                            extra_jitter: float = 0.0) -> jax.Array:
+                            extra_jitter=None) -> jax.Array:
     """LML as a pure differentiable function of (kernel, mean) params.
 
     This is the hyperparameter-learning objective; `jax.grad` of this replaces
@@ -500,7 +522,7 @@ def log_marginal_likelihood(kernel, mean, x: jax.Array, y: jax.Array,
     mask = (jnp.arange(N) < n).astype(x.dtype)
     mean = prepare_mean(mean, y, mask)
     K = kernel.gram_train(x)
-    if extra_jitter:
+    if extra_jitter is not None:
         K = K + jnp.asarray(extra_jitter, K.dtype) * jnp.eye(N, dtype=K.dtype)
     K = masked_identity_gram(K, mask)
     L = chol_dispatch(K)       # differentiable (custom VJP, ops/chol.py)
@@ -535,7 +557,7 @@ def log_loo_cv(gp: GP) -> jax.Array:
 
 
 def log_loo_cv_fn(kernel, mean, x: jax.Array, y: jax.Array,
-                  n: jax.Array, extra_jitter: float = 0.0) -> jax.Array:
+                  n: jax.Array, extra_jitter=None) -> jax.Array:
     """LOO-CV as a pure differentiable function of hyperparameters
     (objective for KernelLooOpt; grads replace gp.hpp:354-402).
     extra_jitter: see log_marginal_likelihood."""
@@ -543,7 +565,7 @@ def log_loo_cv_fn(kernel, mean, x: jax.Array, y: jax.Array,
     mask = (jnp.arange(N) < n).astype(x.dtype)
     mean = prepare_mean(mean, y, mask)
     K = kernel.gram_train(x)
-    if extra_jitter:
+    if extra_jitter is not None:
         K = K + jnp.asarray(extra_jitter, K.dtype) * jnp.eye(N, dtype=K.dtype)
     K = masked_identity_gram(K, mask)
     L = chol_dispatch(K)

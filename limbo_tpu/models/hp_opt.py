@@ -106,14 +106,26 @@ class _HPOptMixin:
         return (_cast_floats(gp.kernel, od), _cast_floats(gp.mean, od),
                 gp.x.astype(od), gp.y.astype(od))
 
-    def _obj_jitter(self, gp: gp_mod.GP, od) -> float:
-        """Resolve the objective-only diagonal ridge (0.0 = off)."""
+    def _obj_jitter(self, gp: gp_mod.GP, od):
+        """Resolve the objective-only diagonal ridge (None = off).
+
+        "auto" scales with both the worst-case spectrum bound (N: lambda_max
+        <= N * k_diag) and the data variance (learned signal variance tracks
+        var(y), so the candidate kernels the optimizer actually visits have
+        k_diag ~ var(y), not 1)."""
         oj = getattr(self, "objective_jitter", None)
         if oj is None:
-            return 0.0
+            return None
         if oj == "auto":
             dt = od if od is not None else gp.x.dtype
-            return 32.0 * float(jnp.finfo(dt).eps) * gp.x.shape[0]
+            N = gp.x.shape[0]
+            mask = (jnp.arange(N) < gp.n).astype(gp.y.dtype)
+            n = jnp.maximum(jnp.sum(mask), 1.0)
+            ym = jnp.sum(gp.y * mask[:, None], axis=0) / n
+            var = jnp.sum(((gp.y - ym) ** 2) * mask[:, None]) / (
+                n * gp.y.shape[1])
+            scale = jnp.maximum(1.0, var).astype(dt)
+            return 32.0 * float(jnp.finfo(dt).eps) * N * scale
         return float(oj)
 
 
