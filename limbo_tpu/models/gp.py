@@ -207,13 +207,22 @@ def add_sample(gp: GP, x_new: jax.Array, y_new: jax.Array) -> GP:
     l = solve_triangular(gp.L, k_vec, lower=True)                   # (N,)
     kxx = (gp.kernel.k_diag(x_new[None, :])[0]
            + gp.kernel.train_diag_add(x_new[None, :])[0])
-    d2 = kxx - jnp.dot(l, l)
-    # relative pivot floor: the f32 cancellation error of kxx - |l|^2 is
-    # ~eps * kxx, so an absolute 1e-8 floor lets the appended pivot go
-    # arbitrarily ill-conditioned once the learned signal variance is large
-    # (sigma^2 ~ 1e3-1e4 on wide-range objectives) — L's later solves then
-    # overflow to NaN after a few more appends
-    d = jnp.sqrt(jnp.maximum(d2, effective_jitter(dtype) * kxx))
+    # PSD-consistency guard: for a true PSD system |l|^2 <= kxx; in f32 the
+    # triangular solve can overshoot (amplified cancellation once samples
+    # cluster and the learned signal variance is large, sigma^2 ~ 1e3-1e4 on
+    # wide-range objectives).  An absolute pivot clamp alone lets L's
+    # conditioning compound multiplicatively across clustered appends until
+    # entries overflow; rescaling the row to restore the invariant bounds
+    # every entry of L by sqrt(max kxx) permanently, with a relative
+    # eps_eff * kxx pivot floor.  (Near-duplicate samples carry almost no
+    # information, so shrinking their off-diagonal mass is the honest,
+    # jitter-like resolution — limbo leans on f64 Eigen headroom instead,
+    # gp.hpp:573-603.)
+    ll = jnp.dot(l, l)
+    floor = effective_jitter(dtype) * kxx
+    ll_clamped = jnp.minimum(ll, kxx - floor)
+    l = l * jnp.sqrt(ll_clamped / jnp.maximum(ll, jnp.finfo(dtype).tiny))
+    d = jnp.sqrt(kxx - ll_clamped)
 
     N = gp.capacity
     e_i = (jnp.arange(N) == i).astype(dtype)
@@ -230,7 +239,19 @@ def add_sample(gp: GP, x_new: jax.Array, y_new: jax.Array) -> GP:
     mean = prepare_mean(gp2.mean, y, gp2.mask)
     centered = (y - mean(x)) * gp2.mask[:, None]
     alpha = _cho_solve(L, centered)
-    return gp2.replace(mean=mean, alpha=alpha)
+    # Degenerate-append fallback: even with the PSD rescale above, a long
+    # run of clustered appends can drive cond(L) past what f32 solves
+    # tolerate (alpha overflows to inf).  When that happens, rebuild the
+    # factorization from the stored data — recompute has its own
+    # jitter-escalation guard, and batch Cholesky accumulates error
+    # additively where the incremental solve amplifies it multiplicatively.
+    # lax.cond pays the O(N^3) rebuild only when the append went bad.
+    ok = jnp.logical_and(jnp.all(jnp.isfinite(alpha)),
+                         jnp.all(jnp.isfinite(new_row)))
+    return jax.lax.cond(
+        ok,
+        lambda: gp2.replace(mean=mean, alpha=alpha),
+        lambda: recompute(gp2))
 
 
 def grow(gp: GP, new_capacity: int) -> GP:

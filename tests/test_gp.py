@@ -450,3 +450,56 @@ def test_f32_lml_gradient_pathology_and_f64_fix():
     assert np.all(np.isfinite(gr))
     cos = float(gr @ g64 / (np.linalg.norm(gr) * np.linalg.norm(g64)))
     assert cos > 0.9, f"ridge gradient disagrees with f64 oracle (cos={cos})"
+
+
+def test_scale_aware_numerics_large_signal_variance():
+    """hp-opt legitimately learns sigma^2 ~ var(y) (thousands on wide-range
+    objectives).  Every floor in the library must scale with the kernel's
+    output scale or the f32 pipeline NaNs: the refit Cholesky (fixed by
+    train_diag_add + the recompute escalation retry) and the rank-1 append
+    pivots (fixed by relative eps*kxx clamps).  Regression test for the
+    round-2 hp-opt accuracy collapse (docs/BENCHMARKS.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from limbo_tpu.kernels import SquaredExpARD
+    from limbo_tpu.means import DataMean
+    from limbo_tpu.models import gp as gp_mod
+
+    rng = np.random.default_rng(3)
+    X1 = rng.uniform(size=(40, 2))
+    X2 = np.clip(0.55 + 0.01 * rng.standard_normal((120, 2)), 0, 1)
+    X = np.vstack([X1, X2]).astype(np.float32)
+    Y = 50 * (np.sin(5 * X[:, :1]) * np.cos(3 * X[:, 1:2])).astype(np.float32)
+
+    k = SquaredExpARD.create(dim=2, noise=1e-10, dtype=jnp.float32)
+    # the pathological regime measured on SixHumpCamel: sigma^2 ~ 7000,
+    # short-ish length scales, clustered samples
+    k = k.with_params(jnp.asarray([-0.65, -1.3, 4.43], jnp.float32))
+    g = gp_mod.fit(k, DataMean.create(dim_out=1, dtype=jnp.float32), X, Y,
+                   capacity=256)
+    assert bool(jnp.all(jnp.isfinite(g.L)))
+    assert bool(jnp.all(jnp.isfinite(g.alpha)))
+
+    # 60 clustered rank-1 appends on top must stay finite (old absolute
+    # pivot floors overflowed L after ~40)
+    key = jax.random.PRNGKey(0)
+    add = jax.jit(gp_mod.add_sample)
+    for i in range(60):
+        key, kx = jax.random.split(key)
+        x_new = 0.55 + 0.01 * jax.random.normal(kx, (2,), dtype=jnp.float32)
+        y_new = 50 * jnp.sin(5 * x_new[:1]) * jnp.cos(3 * x_new[1:])
+        g = add(g, x_new, y_new)
+    assert bool(jnp.all(jnp.isfinite(g.L)))
+    mu, var = gp_mod.query(g, jnp.asarray([[0.3, 0.7]], jnp.float32))
+    assert bool(jnp.isfinite(mu[0, 0])) and bool(jnp.isfinite(var[0]))
+
+    # escalation retry: an adversarial kernel state (huge sigma^2, long
+    # ells -> numerically indefinite in f32) must still produce a finite,
+    # usable factorization rather than NaNs
+    k_bad = k.with_params(jnp.asarray([2.0, 2.0, 6.0], jnp.float32))
+    g_bad = gp_mod.fit(k_bad, DataMean.create(dim_out=1, dtype=jnp.float32),
+                       X, Y, capacity=256)
+    assert bool(jnp.all(jnp.isfinite(g_bad.L)))
+    assert bool(jnp.all(jnp.isfinite(g_bad.alpha)))
