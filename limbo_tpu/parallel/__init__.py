@@ -4,8 +4,15 @@ from limbo_tpu.parallel.sharded import (
     row_sharded_posterior_mean,
     sharded_restart_opt,
 )
+from limbo_tpu.parallel.sharded_chol import (
+    ShardedGP,
+    sharded_cholesky,
+    sharded_fit,
+    sharded_query,
+)
 
 __all__ = [
     "make_mesh", "make_mesh_2d", "replicated", "shard_batch",
     "sharded_restart_opt", "row_sharded_posterior_mean", "multihost",
+    "ShardedGP", "sharded_cholesky", "sharded_fit", "sharded_query",
 ]

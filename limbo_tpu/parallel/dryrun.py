@@ -85,6 +85,21 @@ def run_dryrun(n_devices: int) -> None:
     assert mu_q.shape == (q, 1)
     assert bool(jnp.all(jnp.isfinite(mu_q)))
 
+    # ---- sharded blocked Cholesky: exact GP fit + query with the factor
+    # row-sharded over the mesh (parallel/sharded_chol.py) ----
+    from limbo_tpu.parallel.sharded_chol import sharded_fit, sharded_query
+
+    Ns = 8 * n_devices
+    Xs = jax.random.uniform(kx, (Ns, d), dtype=jnp.float32)
+    Ys = jnp.cos(jnp.sum(Xs, axis=1, keepdims=True))
+    sgp = sharded_fit(mesh, kernel, DataMean.create(dim_out=1,
+                                                    dtype=jnp.float32),
+                      Xs, Ys, block=8, axis=axis)
+    mu_s, var_s = sharded_query(mesh, sgp, Xq)
+    jax.block_until_ready((mu_s, var_s))
+    assert bool(jnp.all(jnp.isfinite(mu_s)))
+    assert bool(jnp.all(var_s >= 0.0))
+
     # ---- 2-D mesh (restarts x rows): candidate fan-out on one axis with
     # row-sharded posterior means + psum on the other, in ONE program ----
     if n_devices >= 4 and n_devices % 2 == 0:
