@@ -77,10 +77,19 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
                                          capacity=capacity))(X, Y)
     float(gp.L[0, 0])
     _log(f"fit done in {time.perf_counter()-t0:.0f}s")
+    # bf16 Kinv query mirror: halves the HBM read of the n x n inverse per
+    # ascent step (the bandwidth-bound phase) at the SAME accuracy the TPU
+    # default matmul precision already gives the f32 path (bf16-truncated
+    # inputs, f32 accumulation) — see gp.QueryCache.Kinv_q.
+    qdtype = (jnp.bfloat16
+              if os.environ.get("LIMBO_BENCH_QDTYPE", "bf16") == "bf16"
+              else None)
     t0 = time.perf_counter()
-    cache = jax.jit(partial(gp_mod.QueryCache.build, with_K=True))(gp)
+    cache = jax.jit(partial(gp_mod.QueryCache.build, with_K=True,
+                            qdtype=qdtype))(gp)
     float(cache.Kinv[0, 0])
-    _log(f"cache built in {time.perf_counter()-t0:.0f}s")
+    _log(f"cache built in {time.perf_counter()-t0:.0f}s"
+         + (" (bf16 query mirror)" if qdtype else ""))
 
     opt = RandomRestarts(sub=Rprop(iterations=ASCENT_STEPS),
                          repeats=RESTARTS, sweep_samples=SWEEP)

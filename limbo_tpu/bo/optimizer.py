@@ -125,6 +125,7 @@ class BOptimizer:
                  use_query_cache: bool = False,
                  cache_fast_update: bool = False,
                  cache_refresh_period: int = 64,
+                 cache_query_dtype=None,
                  max_model_points: Optional[int] = None,
                  model_type: str = "gp",
                  model_options: Optional[dict] = None,
@@ -155,6 +156,11 @@ class BOptimizer:
         # rebuild K^{-1} exactly every N cached adds (bounds f32 drift of
         # the O(n^2) block updates over long horizons)
         self.cache_refresh_period = cache_refresh_period
+        # low-precision query mirror (e.g. jnp.bfloat16): halves the HBM
+        # read of the n x n Kinv per acquisition query and runs the
+        # variance matmul at MXU bf16 rate; the f32 master still drives
+        # all updates (see gp.QueryCache.Kinv_q).
+        self.cache_query_dtype = cache_query_dtype
         # ≙ limbo modelfun<SparsifiedGP>: cap the model's dataset by
         # density-based sparsification (model/sparsified_gp.hpp)
         self.max_model_points = max_model_points
@@ -371,7 +377,8 @@ class BOptimizer:
         if getattr(self, "_cache_jit", None) is None:
             with_K = self.cache_fast_update == "refined"
             self._cache_jit = jax.jit(
-                partial(gp_mod.QueryCache.build, with_K=with_K))
+                partial(gp_mod.QueryCache.build, with_K=with_K,
+                        qdtype=self.cache_query_dtype))
         return self._cache_jit(gp)
 
     def _add_cached(self, gp, cache, x, y):
@@ -510,7 +517,9 @@ class BOptimizer:
             gp, _ = jax.lax.scan(seed, gp0, (X0, Y0.astype(dtype)))
             use_cache = self.use_query_cache
             with_K = self.cache_fast_update == "refined"
-            cache = (gp_mod.QueryCache.build(gp, with_K=with_K) if use_cache
+            cache = (gp_mod.QueryCache.build(gp, with_K=with_K,
+                                             qdtype=self.cache_query_dtype)
+                     if use_cache
                      else gp_mod.QueryCache(Kinv=jnp.zeros((1, 1), dtype)))
             best0 = jnp.max(jnp.where(
                 jnp.arange(capacity) < gp.n,
@@ -543,7 +552,9 @@ class BOptimizer:
                     if use_cache:
                         cache = jax.lax.cond(
                             (it + 1) % hp_period == 0,
-                            lambda g: gp_mod.QueryCache.build(g, with_K=with_K),
+                            lambda g: gp_mod.QueryCache.build(
+                                g, with_K=with_K,
+                                qdtype=self.cache_query_dtype),
                             lambda g: cache, gp)
                 agg_y = aggregator(y)
                 best = jnp.maximum(best, agg_y)

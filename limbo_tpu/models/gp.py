@@ -314,10 +314,20 @@ class QueryCache:
     # u <- u + Kinv (k - K u) replaces two serialized triangular solves
     # (matvec-only, MXU/bandwidth-bound) while matching their accuracy.
     K: Optional[jax.Array] = None
+    # Optional low-precision (bf16) mirror of Kinv used ONLY for the
+    # variance quadratic form in query_cached. At large n the per-step
+    # acquisition queries are HBM-bandwidth-bound on the n x n Kinv read
+    # (e.g. 400 MB f32 at n=10k per ascent step); a bf16 mirror halves
+    # that traffic and runs the (q,N)@(N,N) matmul at native MXU bf16
+    # rate with f32 accumulation. The f32 Kinv stays the master copy:
+    # updates and the posterior-mean path never touch the mirror, so
+    # there is no compounding low-precision drift — only a bounded
+    # per-query rounding of the variance (see query_cached).
+    Kinv_q: Optional[jax.Array] = None
 
     @classmethod
     def build(cls, gp: GP, block: int = 1024,
-              with_K: bool = False) -> "QueryCache":
+              with_K: bool = False, qdtype=None) -> "QueryCache":
         """Blocked inversion: Linv column-panels via scanned triangular
         solves, then Kinv = Linv^T Linv (one matmul).
 
@@ -337,7 +347,8 @@ class QueryCache:
             Linv = tri_inv_dispatch(gp.L)
             Kinv = jnp.dot(Linv.T, Linv, preferred_element_type=gp.x.dtype,
                            precision=jax.lax.Precision.HIGHEST)
-            return cls(Kinv=Kinv, K=K)
+            return cls(Kinv=Kinv, K=K,
+                       Kinv_q=Kinv.astype(qdtype) if qdtype else None)
         block = min(block, N)
         nb = -(-N // block)
         Npad = nb * block
@@ -354,17 +365,30 @@ class QueryCache:
         # so stacked panels give Linv^T with shape (N, N); Kinv = Linv^T @ Linv
         LinvT = Linv                                             # (N, N) = Linv^T
         Kinv = jnp.dot(LinvT, LinvT.T, preferred_element_type=gp.x.dtype)
-        return cls(Kinv=Kinv, K=K)
+        return cls(Kinv=Kinv, K=K,
+                   Kinv_q=Kinv.astype(qdtype) if qdtype else None)
 
 
 def query_cached(gp: GP, cache: QueryCache,
                  Xq: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Matmul-only posterior query using a precomputed K^{-1}."""
+    """Matmul-only posterior query using a precomputed K^{-1}.
+
+    When the cache carries a low-precision mirror (Kinv_q, see
+    QueryCache.build(qdtype=...)), the variance quadratic form reads the
+    mirror with f32 accumulation: absolute variance error is bounded by
+    one bf16 rounding of Kinv (~2^-9 relative per element) through the
+    form — measured ~1e-3 * prior_variance at n=10k (tests/test_gp.py::
+    test_query_cache_bf16_mirror). The mean path always uses f32 alpha.
+    """
     Xq = jnp.atleast_2d(Xq).astype(gp.x.dtype)
     mask = gp.mask
     ks = gp.kernel.gram(Xq, gp.x) * mask[None, :]                    # (q, N)
     mu = jnp.dot(ks, gp.alpha, preferred_element_type=ks.dtype) + gp.mean(Xq)
-    t = jnp.dot(ks, cache.Kinv, preferred_element_type=ks.dtype)     # (q, N)
+    if cache.Kinv_q is not None:
+        t = jnp.dot(ks.astype(cache.Kinv_q.dtype), cache.Kinv_q,
+                    preferred_element_type=ks.dtype)                 # (q, N)
+    else:
+        t = jnp.dot(ks, cache.Kinv, preferred_element_type=ks.dtype)
     var = gp.kernel.k_diag(Xq) - jnp.sum(t * ks, axis=1)
     return mu, jnp.maximum(var, 0.0)
 
@@ -499,7 +523,12 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
     centered = (y - mean(x)) * gp2.mask[:, None]
     # alpha via the cached inverse (O(N^2 p) matmul, no solves)
     alpha = jnp.dot(Kinv, centered, preferred_element_type=dtype)
-    return gp2.replace(mean=mean, alpha=alpha), QueryCache(Kinv=Kinv, K=K_new)
+    # refresh the low-precision query mirror from the f32 master (one
+    # O(N^2) cast write; the mirror never feeds updates, so no compounding)
+    Kinv_q = (Kinv.astype(cache.Kinv_q.dtype)
+              if cache.Kinv_q is not None else None)
+    return (gp2.replace(mean=mean, alpha=alpha),
+            QueryCache(Kinv=Kinv, K=K_new, Kinv_q=Kinv_q))
 
 
 # ---------------------------------------------------------------------------

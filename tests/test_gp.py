@@ -226,6 +226,59 @@ def test_query_cached_matches_solve(rng):
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-10)
 
 
+def test_query_cache_bf16_mirror(rng):
+    """bf16 Kinv mirror (QueryCache.build(qdtype=bf16)): mean is untouched
+    (f32 alpha path); variance is bit-equivalent to the f32 path with its
+    operands truncated to bf16 — exactly what TPU default matmul precision
+    does to the f32 path on hardware, so the mirror trades no accuracy on
+    the TPU hot loop, only HBM bandwidth; and add_sample_cached keeps the
+    mirror refreshed from the f32 master (no compounding drift)."""
+    X, Y = make_data(rng, n=24)
+    kern = Exp.create(l=0.3, dtype=jnp.float32)
+    gp = gp_mod.fit(kern, NullMean(), X.astype(jnp.float32),
+                    Y.astype(jnp.float32), capacity=32)
+    cache32 = gp_mod.QueryCache.build(gp)
+    cache16 = gp_mod.QueryCache.build(gp, qdtype=jnp.bfloat16)
+    assert cache16.Kinv_q.dtype == jnp.bfloat16
+    assert cache16.Kinv.dtype == jnp.float32
+    Xq = jnp.asarray(rng.uniform(size=(16, 2)), dtype=jnp.float32)
+    mu32, _ = gp_mod.query_cached(gp, cache32, Xq)
+    mu16, v16 = gp_mod.query_cached(gp, cache16, Xq)
+    np.testing.assert_allclose(np.asarray(mu16), np.asarray(mu32), atol=1e-6)
+    # emulate the TPU default-precision f32 matmul (bf16-truncated inputs):
+    # the mirror must match it (same rounding, f32 accumulation)
+    trunc = gp_mod.QueryCache(
+        Kinv=cache32.Kinv.astype(jnp.bfloat16).astype(jnp.float32))
+    gp_t = gp  # ks truncation handled below via the same query
+    mask = gp.mask
+    ks = gp.kernel.gram(Xq, gp.x) * mask[None, :]
+    ks16 = ks.astype(jnp.bfloat16).astype(jnp.float32)
+    t = jnp.dot(ks16, trunc.Kinv)
+    v_emul = jnp.maximum(gp_t.kernel.k_diag(Xq) - jnp.sum(t * ks, axis=1), 0.0)
+    np.testing.assert_allclose(np.asarray(v16), np.asarray(v_emul),
+                               atol=1e-5, rtol=1e-4)
+    # on a better-conditioned GP the mirror variance stays within the bf16
+    # input-rounding scale (~2^-9 through the quadratic form — the same
+    # rounding TPU default matmul precision applies to the f32 path)
+    kern_n = Exp.create(l=0.3, noise=0.1, dtype=jnp.float32)
+    gp_n = gp_mod.fit(kern_n, NullMean(), X.astype(jnp.float32),
+                      Y.astype(jnp.float32), capacity=32)
+    c32 = gp_mod.QueryCache.build(gp_n)
+    c16 = gp_mod.QueryCache.build(gp_n, qdtype=jnp.bfloat16)
+    _, v32n = gp_mod.query_cached(gp_n, c32, Xq)
+    _, v16n = gp_mod.query_cached(gp_n, c16, Xq)
+    np.testing.assert_allclose(np.asarray(v16n), np.asarray(v32n), atol=5e-2)
+    # chained cached adds keep the mirror in sync with the f32 master
+    step = jax.jit(gp_mod.add_sample_cached)
+    for _ in range(4):
+        xn = jnp.asarray(rng.uniform(size=2), dtype=jnp.float32)
+        yn = jnp.asarray(rng.normal(size=1), dtype=jnp.float32)
+        gp, cache16 = step(gp, cache16, xn, yn)
+    np.testing.assert_allclose(
+        np.asarray(cache16.Kinv_q, dtype=np.float32),
+        np.asarray(cache16.Kinv.astype(jnp.bfloat16), dtype=np.float32))
+
+
 def test_add_sample_cached_incremental(rng):
     """Chained Kinv block updates stay exact vs a fresh batch fit."""
     X, Y = make_data(rng, n=10)
