@@ -42,6 +42,10 @@ class Cmaes:
     pop_size: int = struct.field(pytree_node=False, default=0)   # 0 -> auto
     sigma0: float = struct.field(pytree_node=False, default=0.3)
     restarts: int = struct.field(pytree_node=False, default=1)
+    # optional device mesh: population evaluation shards over `mesh_axis`
+    # (the multi-chip set_mt_feval; lambda is rounded up to the axis size).
+    mesh: object = struct.field(pytree_node=False, default=None)
+    mesh_axis: str = struct.field(pytree_node=False, default=None)
 
     def __call__(self, fun: Callable, init: jax.Array, key,
                  bounded: bool = True) -> OptResult:
@@ -51,6 +55,11 @@ class Cmaes:
         lam = (self.pop_size if self.pop_size > 0
                else 4 + int(3 * math.log(d)) if d > 1 else 4)
         lam = max(lam, 4)
+        if self.mesh is not None:
+            ax = (self.mesh_axis if self.mesh_axis is not None
+                  else self.mesh.axis_names[0])
+            n_dev = self.mesh.shape[ax]
+            lam = -(-lam // n_dev) * n_dev
         mu = lam // 2
         # recombination weights (static -> host numpy, jit-safe)
         import numpy as _np
@@ -69,6 +78,14 @@ class Cmaes:
 
         pheno = (lambda x: reflect01(x)) if bounded else (lambda x: x)
 
+        if self.mesh is not None:
+            from limbo_tpu.parallel.sharded import make_sharded_pop_eval
+
+            pop_eval = make_sharded_pop_eval(
+                self.mesh, lambda x: fun(pheno(x)), axis=self.mesh_axis)
+        else:
+            pop_eval = jax.vmap(lambda x: fun(pheno(x)))
+
         def run_one(key):
             def gen(carry, k):
                 m, sigma, C, ps, pc, best_x, best_v, t = carry
@@ -78,7 +95,7 @@ class Cmaes:
                 z = jax.random.normal(k, (lam, d), dtype=dtype)
                 y = (z * D[None, :]) @ B.T                       # (lam, d)
                 xs = m[None, :] + sigma * y
-                fs = jax.vmap(lambda x: fun(pheno(x)))(xs)       # maximize
+                fs = pop_eval(xs)                                # maximize
                 order = jnp.argsort(-fs)
                 xs_sorted = xs[order[:mu]]
                 y_sorted = y[order[:mu]]
@@ -124,6 +141,20 @@ class Cmaes:
         if self.restarts <= 1:
             return run_one(key)
         keys = jax.random.split(key, self.restarts)
+        if self.mesh is not None:
+            # restarts run sequentially (vmap over a shard_mapped feval is
+            # not composable); each restart's population still fans out
+            def body(best, k):
+                r = run_one(k)
+                better = r.value > best.value
+                return OptResult(x=jnp.where(better, r.x, best.x),
+                                 value=jnp.where(better, r.value,
+                                                 best.value)), None
+
+            init_res = OptResult(x=jnp.zeros_like(init),
+                                 value=jnp.asarray(-jnp.inf, dtype))
+            best, _ = jax.lax.scan(body, init_res, keys)
+            return best
         res = jax.vmap(run_one)(keys)
         i = jnp.argmax(res.value)
         return OptResult(x=res.x[i], value=res.value[i])

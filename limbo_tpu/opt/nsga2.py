@@ -110,6 +110,11 @@ class Nsga2:
     generations: int = struct.field(pytree_node=False, default=50)
     eta_c: float = struct.field(pytree_node=False, default=15.0)
     eta_m: float = struct.field(pytree_node=False, default=20.0)
+    # optional device mesh: population evaluation shards over `mesh_axis`
+    # (the multi-chip form of sferes2's TBB-parallel evaluator; pop_size is
+    # rounded up to a multiple of the axis size).
+    mesh: object = struct.field(pytree_node=False, default=None)
+    mesh_axis: str = struct.field(pytree_node=False, default=None)
 
     def __call__(self, fun: Callable, dim: int, key,
                  dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
@@ -117,9 +122,19 @@ class Nsga2:
         population (X (P, d), Y (P, M)); the caller extracts fronts via
         ops.pareto.  jit-safe."""
         P = self.pop_size
+        if self.mesh is not None:
+            from limbo_tpu.parallel.sharded import make_sharded_pop_eval
+
+            ax = (self.mesh_axis if self.mesh_axis is not None
+                  else self.mesh.axis_names[0])
+            P = -(-P // self.mesh.shape[ax]) * self.mesh.shape[ax]
+            pop_eval = make_sharded_pop_eval(self.mesh, fun,
+                                             axis=self.mesh_axis)
+        else:
+            pop_eval = jax.vmap(fun)
         k_init, k_loop = jax.random.split(key)
         X = jax.random.uniform(k_init, (P, dim), dtype=dtype)
-        Y = jax.vmap(fun)(X)
+        Y = pop_eval(X)
 
         def gen(carry, k):
             X, Y = carry
@@ -129,7 +144,7 @@ class Nsga2:
             parents = _tournament(k_sel, rank, crowd, 2 * P)
             child = _sbx(k_cx, X[parents[:P]], X[parents[P:]], self.eta_c)
             child = _poly_mutation(k_mut, child, self.eta_m)
-            Yc = jax.vmap(fun)(child)
+            Yc = pop_eval(child)
             # environmental selection over the 2P union
             Xu = jnp.concatenate([X, child])
             Yu = jnp.concatenate([Y, Yc])

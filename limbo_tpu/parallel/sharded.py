@@ -63,6 +63,34 @@ def sharded_restart_opt(mesh: Mesh, sub_opt, fun: Callable, init: jax.Array,
     return OptResult(x=x, value=v)
 
 
+def make_sharded_pop_eval(mesh: Mesh, fun: Callable,
+                          axis: Optional[str] = None) -> Callable:
+    """Population evaluation sharded over the mesh.
+
+    Returns an eval function (P, d) -> stacked outputs with the population
+    axis sharded across devices — the multi-chip form of libcmaes's
+    `set_mt_feval(true)` (opt/cmaes.hpp:272) and sferes2's TBB-parallel
+    evaluator (bo_multi.hpp:184): each device vmaps `fun` over its slice of
+    the population, and the all-gather back to the global view rides ICI.
+    P must be a multiple of the mesh axis size.
+    """
+    ax = axis if axis is not None else mesh.axis_names[0]
+
+    def eval_fn(X: jax.Array) -> jax.Array:
+        if X.shape[0] % mesh.shape[ax] != 0:
+            raise ValueError(
+                f"population {X.shape[0]} not divisible by mesh axis "
+                f"'{ax}' size {mesh.shape[ax]}")
+
+        def shard_fn(X_s):
+            return jax.vmap(fun)(X_s)
+
+        return jax.shard_map(shard_fn, mesh=mesh, check_vma=False,
+                             in_specs=(P(ax),), out_specs=P(ax))(X)
+
+    return eval_fn
+
+
 def row_sharded_posterior_mean(mesh: Mesh, kernel, x_rows: jax.Array,
                                alpha_rows: jax.Array, mean_q: jax.Array,
                                Xq: jax.Array,

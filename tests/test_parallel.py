@@ -75,6 +75,51 @@ def test_sharded_cg_matches_exact(rng):
                                np.asarray(ks @ gp.alpha), atol=1e-3)
 
 
+def test_mesh_sharded_cmaes_finds_optimum():
+    """CMA-ES with its population sharded over the mesh (the multi-chip
+    set_mt_feval) still converges; lambda is rounded up to the axis size."""
+    from limbo_tpu.opt import Cmaes
+
+    mesh = make_mesh(8)
+    f = lambda x: -jnp.sum((x - 0.25) ** 2)
+    opt = Cmaes(iterations=80, mesh=mesh)
+    res = opt(f, jnp.full((2,), 0.5, dtype=jnp.float32),
+              jax.random.PRNGKey(3), bounded=True)
+    np.testing.assert_allclose(np.asarray(res.x), [0.25, 0.25], atol=1e-2)
+
+
+def test_mesh_sharded_cmaes_restarts():
+    """Sequential-scan restarts compose with the sharded population eval."""
+    from limbo_tpu.opt import Cmaes
+
+    mesh = make_mesh(8)
+    f = lambda x: -jnp.sum((x - 0.8) ** 2)
+    opt = Cmaes(iterations=60, restarts=2, mesh=mesh)
+    res = opt(f, jnp.full((2,), 0.1, dtype=jnp.float32),
+              jax.random.PRNGKey(7), bounded=True)
+    np.testing.assert_allclose(np.asarray(res.x), [0.8, 0.8], atol=1e-2)
+
+
+def test_mesh_sharded_nsga2_front_quality():
+    """NSGA-II with sharded population eval covers the mop2-style front
+    (population rounds up to a mesh-axis multiple)."""
+    from limbo_tpu.opt import Nsga2
+
+    mesh = make_mesh(8)
+
+    def mop(x):
+        f1 = -jnp.sum((x - 0.2) ** 2)
+        f2 = -jnp.sum((x - 0.8) ** 2)
+        return jnp.stack([f1, f2])
+
+    opt = Nsga2(pop_size=30, generations=30, mesh=mesh)  # rounds to 32
+    X, Y = opt(mop, 2, jax.random.PRNGKey(1))
+    assert X.shape[0] == 32 and Y.shape == (32, 2)
+    # best f1 and best f2 on the front approach their ideals (0)
+    assert float(jnp.max(Y[:, 0])) > -1e-2
+    assert float(jnp.max(Y[:, 1])) > -1e-2
+
+
 def test_sharded_restart_weak_scaling_consistency():
     """Weak scaling semantics: doubling the mesh doubles total restarts and
     the global argmax matches an equivalent single-device run (correctness
