@@ -369,6 +369,40 @@ class QueryCache:
                    Kinv_q=Kinv.astype(qdtype) if qdtype else None)
 
 
+@jax.custom_vjp
+def _sym_quad_diag(ks: jax.Array, Kinv: jax.Array) -> jax.Array:
+    """diag(ks @ Kinv @ ks^T) for a SYMMETRIC Kinv.
+
+    The custom VJP exploits symmetry: d/dks [ks Kinv ks^T]_ii = 2 (ks Kinv)_i
+    = 2 t — reusing the forward matmul's result instead of autodiff's second
+    (q,N)@(N,N) contraction.  On the acquisition-ascent hot path that removes
+    an entire N x N HBM read (and its MXU pass) per gradient step.  Kinv is
+    exactly symmetric here by construction: QueryCache.build forms it as
+    Linv^T @ Linv (A @ A^T is bitwise symmetric — C[i,j] and C[j,i] sum the
+    identical products in the identical k-order) and add_sample_cached's
+    block updates add symmetric rank-1 terms.
+    """
+    t = jnp.dot(ks.astype(Kinv.dtype), Kinv,
+                preferred_element_type=ks.dtype)                     # (q, N)
+    return jnp.sum(t * ks, axis=1)
+
+
+def _sym_quad_diag_fwd(ks, Kinv):
+    t = jnp.dot(ks.astype(Kinv.dtype), Kinv,
+                preferred_element_type=ks.dtype)
+    return jnp.sum(t * ks, axis=1), (t, Kinv)
+
+
+def _sym_quad_diag_bwd(res, g):
+    t, Kinv = res
+    # cotangent for Kinv is never consumed (the cache is a constant of the
+    # ascent); the zeros are dead code XLA eliminates
+    return (2.0 * g)[:, None] * t, jnp.zeros_like(Kinv)
+
+
+_sym_quad_diag.defvjp(_sym_quad_diag_fwd, _sym_quad_diag_bwd)
+
+
 def query_cached(gp: GP, cache: QueryCache,
                  Xq: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Matmul-only posterior query using a precomputed K^{-1}.
@@ -379,17 +413,16 @@ def query_cached(gp: GP, cache: QueryCache,
     one bf16 rounding of Kinv (~2^-9 relative per element) through the
     form — measured ~1e-3 * prior_variance at n=10k (tests/test_gp.py::
     test_query_cache_bf16_mirror). The mean path always uses f32 alpha.
+    The quadratic form carries a symmetry-aware custom VJP
+    (_sym_quad_diag): gradient ascent through this query does one N x N
+    contraction per step, not two.
     """
     Xq = jnp.atleast_2d(Xq).astype(gp.x.dtype)
     mask = gp.mask
     ks = gp.kernel.gram(Xq, gp.x) * mask[None, :]                    # (q, N)
     mu = jnp.dot(ks, gp.alpha, preferred_element_type=ks.dtype) + gp.mean(Xq)
-    if cache.Kinv_q is not None:
-        t = jnp.dot(ks.astype(cache.Kinv_q.dtype), cache.Kinv_q,
-                    preferred_element_type=ks.dtype)                 # (q, N)
-    else:
-        t = jnp.dot(ks, cache.Kinv, preferred_element_type=ks.dtype)
-    var = gp.kernel.k_diag(Xq) - jnp.sum(t * ks, axis=1)
+    Kq = cache.Kinv_q if cache.Kinv_q is not None else cache.Kinv
+    var = gp.kernel.k_diag(Xq) - _sym_quad_diag(ks, Kq)
     return mu, jnp.maximum(var, 0.0)
 
 

@@ -279,6 +279,48 @@ def test_query_cache_bf16_mirror(rng):
         np.asarray(cache16.Kinv.astype(jnp.bfloat16), dtype=np.float32))
 
 
+def test_query_cached_symmetric_vjp(rng):
+    """The variance quadratic form's symmetry-aware custom VJP (gradient =
+    2 ks Kinv, reusing the forward matmul) matches autodiff through an
+    explicit ks @ Kinv @ ks^T to f32 roundoff, on both the f32 cache and
+    the bf16 mirror."""
+    X, Y = make_data(rng, n=24)
+    kern = Exp.create(l=0.3, noise=0.1, dtype=jnp.float32)
+    gp = gp_mod.fit(kern, NullMean(), X.astype(jnp.float32),
+                    Y.astype(jnp.float32), capacity=32)
+    cache = gp_mod.QueryCache.build(gp)
+    x0 = jnp.asarray(rng.uniform(size=2), dtype=jnp.float32)
+
+    def acq(x):
+        mu, var = gp_mod.query_cached(gp, cache, x[None, :])
+        return mu[0, 0] + 0.5 * jnp.sqrt(var[0] + 1e-8)
+
+    def acq_ref(x):   # same math without the custom VJP
+        Xq = x[None, :]
+        ks = gp.kernel.gram(Xq, gp.x) * gp.mask[None, :]
+        mu = jnp.dot(ks, gp.alpha) + gp.mean(Xq)
+        q = jnp.sum(jnp.dot(ks, cache.Kinv) * ks, axis=1)
+        var = jnp.maximum(gp.kernel.k_diag(Xq) - q, 0.0)
+        return mu[0, 0] + 0.5 * jnp.sqrt(var[0] + 1e-8)
+
+    g = jax.grad(acq)(x0)
+    g_ref = jax.grad(acq_ref)(x0)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+    # bf16 mirror: gradient stays within bf16 rounding of the f32 gradient
+    c16 = gp_mod.QueryCache.build(gp, qdtype=jnp.bfloat16)
+
+    def acq16(x):
+        mu, var = gp_mod.query_cached(gp, c16, x[None, :])
+        return mu[0, 0] + 0.5 * jnp.sqrt(var[0] + 1e-8)
+
+    g16 = np.asarray(jax.grad(jax.jit(acq16))(x0), dtype=np.float64)
+    gr = np.asarray(g_ref, dtype=np.float64)
+    cos = g16 @ gr / (np.linalg.norm(g16) * np.linalg.norm(gr) + 1e-30)
+    assert cos > 0.95, cos
+    assert 0.5 < np.linalg.norm(g16) / np.linalg.norm(gr) < 2.0
+
+
 def test_add_sample_cached_incremental(rng):
     """Chained Kinv block updates stay exact vs a fresh batch fit."""
     X, Y = make_data(rng, n=10)
