@@ -34,8 +34,30 @@ SLURM_TEMPLATE = """#!/bin/bash
 # reads SLURM_JOB_NODELIST/SLURM_PROCID/SLURM_NTASKS (srun exports them per
 # task), so the experiment script only needs to call initialize() up top —
 # exercised by tests/test_multihost.py's 2-process loopback.
+export JAX_COMPILATION_CACHE_DIR=${{JAX_COMPILATION_CACHE_DIR:-{cache_dir}}}
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=${{JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS:-1}}
 srun python {script} {rep}
 """
+
+
+def _cache_env(conf: Dict, env: Dict) -> Dict:
+    """Point every replicate at one persistent XLA compile cache.
+
+    Replicates of the same experiment trace identical XLA programs (same
+    capacities, same kernels) — only the PRNG key differs, and keys are
+    runtime values, not compile-time constants.  Sharing
+    ``JAX_COMPILATION_CACHE_DIR`` means replicate 0 pays the compile and
+    replicates 1..nb_runs-1 deserialize it (limbo pays a C++ *build* once
+    per variant for the same reason — waf_tools/limbo.py:169).  Set
+    ``"compile_cache": false`` in the conf (or pre-set the env var) to opt
+    out; backends whose compilation happens server-side (the tunneled dev
+    chip) simply ignore the cache.
+    """
+    if conf.get("compile_cache", True) and "JAX_COMPILATION_CACHE_DIR" not in env:
+        env["JAX_COMPILATION_CACHE_DIR"] = os.path.abspath(
+            os.path.join(conf["res_dir"], ".jax_cache"))
+        env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    return env
 
 
 def load_conf(path: str) -> Dict:
@@ -71,7 +93,7 @@ def run_local(conf: Dict, parallel: int = 1,
         os.path.abspath(__file__))))
     for exp, script, rep in jobs:
         log = open(os.path.join(conf["res_dir"], f"{exp}_{rep}.log"), "w")
-        env = dict(os.environ, LIMBO_TPU_REPLICATE=str(rep))
+        env = _cache_env(conf, dict(os.environ, LIMBO_TPU_REPLICATE=str(rep)))
         env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
         p = subprocess.Popen([python, os.path.abspath(script), str(rep)],
                              stdout=log, stderr=subprocess.STDOUT,
@@ -99,7 +121,9 @@ def generate_job_scripts(conf: Dict, out_dir: Optional[str] = None
             body = SLURM_TEMPLATE.format(
                 name=exp, rep=rep, wall_time=conf["wall_time"],
                 nb_hosts=conf.get("nb_hosts", 1),
-                res_dir=os.path.abspath(conf["res_dir"]), script=script)
+                res_dir=os.path.abspath(conf["res_dir"]), script=script,
+                cache_dir=os.path.abspath(
+                    os.path.join(conf["res_dir"], ".jax_cache")))
             path = os.path.join(out_dir, f"{exp}_{rep}.job")
             with open(path, "w") as fh:
                 fh.write(body)

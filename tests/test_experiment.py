@@ -42,6 +42,33 @@ def test_run_local_replicates(tmp_path):
     assert (tmp_path / "results" / "replicate_1.out").exists()
 
 
+def test_run_local_shared_compile_cache(tmp_path):
+    """Every replicate sees the same persistent XLA compile-cache dir
+    (replicate 0 compiles, the rest deserialize); conf opt-out respected."""
+    d = tmp_path / "exp" / "cachey"
+    d.mkdir(parents=True)
+    (d / "cachey.py").write_text(
+        "import os, sys\n"
+        "open(f'cache_{sys.argv[1]}.out', 'w').write(\n"
+        "    os.environ.get('JAX_COMPILATION_CACHE_DIR', ''))\n")
+    conf = {"exps": ["cachey"], "nb_runs": 2,
+            "res_dir": str(tmp_path / "results"), "bin_dir": str(d)}
+    assert run_local(conf) == [0, 0]
+    seen = {open(tmp_path / "results" / f"cache_{r}.out").read()
+            for r in range(2)}
+    assert seen == {str(tmp_path / "results" / ".jax_cache")}
+
+    conf = {"exps": ["cachey"], "nb_runs": 1, "compile_cache": False,
+            "res_dir": str(tmp_path / "results2"), "bin_dir": str(d)}
+    env_cache = os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+    try:
+        assert run_local(conf) == [0]
+    finally:
+        if env_cache is not None:
+            os.environ["JAX_COMPILATION_CACHE_DIR"] = env_cache
+    assert open(tmp_path / "results2" / "cache_0.out").read() == ""
+
+
 def test_generate_job_scripts(tmp_path):
     d = create_exp("jobexp", base_dir=str(tmp_path / "exp"))
     conf = load_conf(os.path.join(d, "conf.json"))
