@@ -50,12 +50,15 @@ def time_maximize(gp, cache, query, reps=30):
     opt = RandomRestarts(sub=Rprop(iterations=ASCENT_STEPS),
                          repeats=RESTARTS, sweep_samples=SWEEP)
 
-    def acq_fn(x):
-        mu, var = query(gp, cache, x[None, :])
-        return mu[0, 0] + 0.5 * jnp.sqrt(var[0])
-
+    # gp/cache must be jit ARGUMENTS: closed-over arrays become HLO
+    # constants, and a 400 MB Kinv constant overflows the tunneled
+    # remote-compile request (HTTP 413).
     @jax.jit
-    def chain(key):
+    def chain(gp, cache, key):
+        def acq_fn(x):
+            mu, var = query(gp, cache, x[None, :])
+            return mu[0, 0] + 0.5 * jnp.sqrt(var[0])
+
         def body(carry, k):
             res = opt(acq_fn, carry, k, True)
             return res.x, res.value
@@ -64,10 +67,10 @@ def time_maximize(gp, cache, query, reps=30):
                                               dtype=gp.x.dtype), keys)
         return vals
 
-    v = chain(jax.random.PRNGKey(0))
+    v = chain(gp, cache, jax.random.PRNGKey(0))
     float(v[0])                       # compile + sync
     t0 = time.perf_counter()
-    v = chain(jax.random.PRNGKey(1))
+    v = chain(gp, cache, jax.random.PRNGKey(1))
     float(v[0])
     return (time.perf_counter() - t0) / reps
 
