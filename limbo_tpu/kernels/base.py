@@ -100,6 +100,44 @@ class KernelMixin:
         n = X.shape[0]
         return K + self.train_diag_add(X) * jnp.eye(n, dtype=K.dtype)
 
+    def gram_train_masked(self, X: jax.Array, n, extra_jitter=None
+                          ) -> jax.Array:
+        """Chol-ready padded training covariance in ONE fused pass.
+
+        Equivalent to ``masked_identity_gram(gram_train(X) [+ extra*I],
+        arange(N) < n)`` — the matrix build of every recompute and every
+        LML/LOO hp-opt ascent step — but on TPU the covariance, the diagonal
+        noise+jitter add, and the masked-identity padding are fused into a
+        single Pallas tile write (ops/gram.gram_train_masked) instead of
+        three full passes over the (N, N) buffer.  Falls back to the
+        composed reference off-TPU or for kernels without a fused form.
+        """
+        args = self._fused_train_args(X)
+        if args is not None:
+            from limbo_tpu.ops.gram import gram_train_masked as _fused
+
+            form, Xs, sf2, inv_l = args
+            # scalar train_diag_add: every fused kernel has constant prior
+            # variance k_diag == sf2 (see train_diag_add)
+            diag_add = self.noise + effective_jitter(X.dtype) * jnp.maximum(
+                sf2, jnp.ones((), dtype=X.dtype))
+            if extra_jitter is not None:
+                diag_add = diag_add + jnp.asarray(extra_jitter, X.dtype)
+            return _fused(form, Xs, sf2, inv_l, diag_add, n)
+        from limbo_tpu.utils.maths import masked_identity_gram
+
+        K = self.gram_train(X)
+        if extra_jitter is not None:
+            K = K + jnp.asarray(extra_jitter, K.dtype) * jnp.eye(
+                X.shape[0], dtype=K.dtype)
+        mask = (jnp.arange(X.shape[0]) < n).astype(X.dtype)
+        return masked_identity_gram(K, mask)
+
+    def _fused_train_args(self, X: jax.Array):
+        """(form, scaled_inputs, sf2, inv_l) for the fused train-gram path,
+        or None when this kernel has no single-distance form."""
+        return None
+
     def train_diag_add(self, X: jax.Array) -> jax.Array:
         """(n,) additive training-diagonal term: noise + scale-aware jitter.
 

@@ -64,6 +64,11 @@ class Exp(KernelMixin):
         sf2 = jnp.exp(2.0 * self.log_sigma)
         return jnp.full((X.shape[0],), sf2, dtype=X.dtype)
 
+    def _fused_train_args(self, X: jax.Array):
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        ones = jnp.ones((), dtype=X.dtype)
+        return "se", X * jnp.exp(-self.log_l), sf2, ones
+
 
 @struct.dataclass
 class SquaredExpARD(KernelMixin):
@@ -122,6 +127,16 @@ class SquaredExpARD(KernelMixin):
         sf2 = jnp.exp(2.0 * self.log_sigma)
         return jnp.full((X.shape[0],), sf2, dtype=X.dtype)
 
+    def _fused_train_args(self, X: jax.Array):
+        # |Delta/ell|^2 + |A^T Delta|^2 == one Euclidean distance over the
+        # concatenated features [X/ell, X A] — so even the low-rank form
+        # maps onto the fused SE kernel
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        Xs = X * jnp.exp(-self.log_ell)
+        if self.A.shape[1] > 0:
+            Xs = jnp.concatenate([Xs, jnp.dot(X, self.A)], axis=1)
+        return "se", Xs, sf2, jnp.ones((), dtype=X.dtype)
+
     @property
     def ell(self) -> jax.Array:
         return jnp.exp(self.log_ell)
@@ -164,6 +179,10 @@ class MaternThreeHalves(KernelMixin):
         sf2 = jnp.exp(2.0 * self.log_sigma)
         return jnp.full((X.shape[0],), sf2, dtype=X.dtype)
 
+    def _fused_train_args(self, X: jax.Array):
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return "matern32", X, sf2, jnp.exp(-self.log_l)
+
 
 @struct.dataclass
 class MaternFiveHalves(KernelMixin):
@@ -202,3 +221,7 @@ class MaternFiveHalves(KernelMixin):
     def k_diag(self, X: jax.Array) -> jax.Array:
         sf2 = jnp.exp(2.0 * self.log_sigma)
         return jnp.full((X.shape[0],), sf2, dtype=X.dtype)
+
+    def _fused_train_args(self, X: jax.Array):
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return "matern52", X, sf2, jnp.exp(-self.log_l)

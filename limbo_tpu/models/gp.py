@@ -43,7 +43,6 @@ from limbo_tpu.means.means import prepare_mean
 from limbo_tpu.ops.chol import cholesky as chol_dispatch
 from limbo_tpu.ops.chol import tri_inv as tri_inv_dispatch
 from limbo_tpu.ops.chol import use_blocked_tri
-from limbo_tpu.utils.maths import masked_identity_gram
 
 DEFAULT_CAPACITY = 256
 
@@ -155,8 +154,7 @@ def recompute(gp: GP, update_obs_mean: bool = True) -> GP:
     """
     mask = gp.mask
     mean = prepare_mean(gp.mean, gp.y, mask) if update_obs_mean else gp.mean
-    K = gp.kernel.gram_train(gp.x)
-    K = masked_identity_gram(K, mask)
+    K = gp.kernel.gram_train_masked(gp.x, gp.n)   # one fused pass on TPU
     L = chol_dispatch(K)       # blocked-GEMM + Pallas panels at large n (ops/chol.py)
     # Jitter-escalation retry: if the factorization still went indefinite
     # (extreme hyperparameters mid hp-opt), refactor once with a 1000x
@@ -341,8 +339,7 @@ class QueryCache:
         triangular_solve panels (same workspace bound, much faster).
         """
         N = gp.capacity
-        K = (masked_identity_gram(gp.kernel.gram_train(gp.x), gp.mask)
-             if with_K else None)
+        K = gp.kernel.gram_train_masked(gp.x, gp.n) if with_K else None
         if use_blocked_tri(N):
             Linv = tri_inv_dispatch(gp.L)
             Kinv = jnp.dot(Linv.T, Linv, preferred_element_type=gp.x.dtype,
@@ -604,10 +601,7 @@ def log_marginal_likelihood(kernel, mean, x: jax.Array, y: jax.Array,
     N = x.shape[0]
     mask = (jnp.arange(N) < n).astype(x.dtype)
     mean = prepare_mean(mean, y, mask)
-    K = kernel.gram_train(x)
-    if extra_jitter is not None:
-        K = K + jnp.asarray(extra_jitter, K.dtype) * jnp.eye(N, dtype=K.dtype)
-    K = masked_identity_gram(K, mask)
+    K = kernel.gram_train_masked(x, n, extra_jitter=extra_jitter)
     L = chol_dispatch(K)       # differentiable (custom VJP, ops/chol.py)
     centered = (y - mean(x)) * mask[:, None]
     alpha = _cho_solve(L, centered)
@@ -647,10 +641,7 @@ def log_loo_cv_fn(kernel, mean, x: jax.Array, y: jax.Array,
     N = x.shape[0]
     mask = (jnp.arange(N) < n).astype(x.dtype)
     mean = prepare_mean(mean, y, mask)
-    K = kernel.gram_train(x)
-    if extra_jitter is not None:
-        K = K + jnp.asarray(extra_jitter, K.dtype) * jnp.eye(N, dtype=K.dtype)
-    K = masked_identity_gram(K, mask)
+    K = kernel.gram_train_masked(x, n, extra_jitter=extra_jitter)
     L = chol_dispatch(K)
     centered = (y - mean(x)) * mask[:, None]
     alpha = _cho_solve(L, centered)

@@ -115,6 +115,81 @@ def gram_pallas(X1: jax.Array, X2: jax.Array, sf2: jax.Array,
     return out[:n, :m]
 
 
+def _gram_train_kernel(form: str, x1_ref, x2_ref, sf2_ref, invl_ref,
+                       dadd_ref, nf_ref, out_ref):
+    """Training-covariance tile: covariance + diag(noise+jitter) + padding.
+
+    Fuses the three passes the unfused path makes over the (N, N) buffer
+    (gram write, + diag*I add, masked-identity rewrite — models/gp.py
+    recompute / log_marginal_likelihood) into the single tile write:
+      out[i, j] = cov(x_i, x_j) + diag_add * [i == j]   if i, j < n
+                = [i == j]                              otherwise
+    which is chol-ready as-is (utils.maths.masked_identity_gram semantics).
+    """
+    x1 = x1_ref[...]
+    x2 = x2_ref[...]
+    a2 = jnp.sum(x1 * x1, axis=1, keepdims=True)
+    b2 = jnp.sum(x2 * x2, axis=1, keepdims=True).T
+    ab = jax.lax.dot_general(x1, x2,
+                             dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    r2 = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+    cov = sf2_ref[0, 0] * _radial(form, r2, invl_ref[0, 0])
+    t = x1.shape[0]
+    # global row/col ids of this tile (int32: Mosaic's tpu.iota rejects
+    # float element types on real hardware)
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+            + t * pl.program_id(0))
+    cols = (jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+            + t * pl.program_id(1))
+    ni = nf_ref[0, 0]
+    diag = (rows == cols).astype(cov.dtype)
+    valid = jnp.logical_and(rows < ni, cols < ni)
+    out = jnp.where(valid, cov + dadd_ref[0, 0] * diag, diag)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("form", "interpret"))
+def gram_train_pallas(X: jax.Array, sf2: jax.Array, inv_l: jax.Array,
+                      diag_add: jax.Array, nf: jax.Array, form: str = "se",
+                      interpret: bool = False) -> jax.Array:
+    """Fused (N, N) padded training covariance (see _gram_train_kernel).
+
+    X: (N, d) capacity-padded inputs (pre-scaled for `se`); nf: number of
+    valid rows as a float scalar; diag_add: scalar noise+jitter term.
+    """
+    N, d = X.shape
+    Xp = _pad_rows(X, TILE)
+    npad = Xp.shape[0]
+    scal = lambda v: jnp.reshape(v.astype(jnp.float32), (1, 1))
+    n_arr = jnp.reshape(nf.astype(jnp.int32), (1, 1))
+    grid = (npad // TILE, npad // TILE)
+    out = pl.pallas_call(
+        functools.partial(_gram_train_kernel, form),
+        out_shape=jax.ShapeDtypeStruct((npad, npad), X.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npad * npad * d,
+            bytes_accessed=(2 * npad * d + npad * npad) * 4,
+            transcendentals=npad * npad,
+        ),
+    )(Xp, Xp, scal(sf2), scal(inv_l), scal(diag_add), n_arr)
+    return out[:N, :N]
+
+
 def use_pallas(X1: jax.Array, X2: jax.Array) -> bool:
     """Dispatch heuristic: TPU backend, f32/bf16, big enough to matter."""
     if not _HAS_PALLAS:

@@ -483,7 +483,7 @@ def test_cached_kinv_refined_mode_drift():
     assert float(jnp.max(jnp.abs(mu_c - mu_e))) < 2e-3
     assert float(jnp.max(jnp.abs(var_c - var_e))) < 5e-3
     # the maintained K stays exact (O(n) row/col appends)
-    Kex = gp_mod.masked_identity_gram(gp.kernel.gram_train(gp.x), gp.mask)
+    Kex = gp.kernel.gram_train_masked(gp.x, gp.n)
     assert float(jnp.max(jnp.abs(cache.K - Kex))) < 1e-5
 
 
