@@ -4,6 +4,8 @@ fit a GP to noisy cos(x) samples, query a dense grid, hyperparameter-optimize
 an ARD variant, and save/load the model.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,11 +41,14 @@ def main():
           float(jnp.mean(jnp.abs(mu2[:, 0] - jnp.cos(10 * Xq[:, 0])))))
     print("log-lik:", float(gp_mod.log_lik(gp_ard)))
 
-    # 3) serialization round trip (gp.cpp:120-135)
-    save_gp(gp_ard, "myGP", archive=TextArchive)
+    # 3) serialization round trip (gp.cpp:120-135; the reference saves to
+    # ./myGP — use a temp dir so repeated runs don't litter the cwd)
+    import tempfile
+    mydir = os.path.join(tempfile.mkdtemp(), "myGP")
+    save_gp(gp_ard, mydir, archive=TextArchive)
     template = gp_mod.empty(SquaredExpARD.create(dim=1), DataMean.create(),
                             dim_in=1, capacity=gp_ard.capacity)
-    gp_loaded = load_gp(template, "myGP")
+    gp_loaded = load_gp(template, mydir)
     mu3, _ = gp_mod.query(gp_loaded, Xq)
     assert float(jnp.max(jnp.abs(mu3 - mu2))) < 1e-6
     print("saved + loaded OK")
