@@ -481,7 +481,8 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
       Kinv' = [[Kinv + (Kinv k)(Kinv k)^T / s, -(Kinv k)/s],
                [-(Kinv k)^T / s, 1/s]].
     With the padded-identity convention (Kinv has an identity block beyond
-    n), writing row/col i = n with these values keeps the invariant exact.
+    n), installing the border at row/col i = n keeps the invariant exact;
+    the install is scatter-free (one fused outer-product pass, see below).
 
     The pivot vector u = K^{-1}k is computed, by default, from the
     *maintained Cholesky factor* via two triangular solves — the drifted
@@ -531,20 +532,27 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
         u = solve_triangular(gp.L.T, l, lower=False) * mask
         s = jnp.maximum(kappa - jnp.dot(k_vec, u),
                         effective_jitter(dtype) * kappa)
-    # Kinv' core block += u u^T / s ; border row/col = -u/s ; corner = 1/s
-    Kinv = cache.Kinv + jnp.outer(u, u) / s
-    border = -u / s + 0.0 * e_i
-    Kinv = Kinv.at[i, :].set(border)
-    Kinv = Kinv.at[:, i].set(border)
-    Kinv = Kinv.at[i, i].set(1.0 / s)
+    # Kinv' core block += u u^T / s ; border row/col = -u/s ; corner = 1/s.
+    # Scatter-free: with u masked (u[i] = 0) and Kinv's padded-identity
+    # row/col i, the bordered inverse is exactly
+    #   Kinv' = Kinv + (u - e_i)(u - e_i)^T / s - e_i e_i^T
+    # (expand: core block gets +uu^T/s, row/col i get -u/s, corner gets
+    # 1 - 1 + 1/s).  One fused elementwise pass over the N x N buffer
+    # instead of an add followed by three dynamic-update-slices — XLA can
+    # fuse the outer-product sum with its consumers (the alpha matvec and
+    # the bf16 mirror cast below) but cannot fuse through scatters.
+    v = u - e_i
+    Kinv = cache.Kinv + jnp.outer(v, v) / s - jnp.outer(e_i, e_i)
 
     d = jnp.sqrt(s)
     L = gp.L.at[i].set(l * mask + d * e_i)
 
     K_new = cache.K
     if K_new is not None:
-        k_row = k_vec + kappa * e_i
-        K_new = K_new.at[i, :].set(k_row).at[:, i].set(k_row)
+        # same trick: K's row/col i is e_i (masked identity); border it with
+        # k_row = k_vec + kappa e_i in one fused pass
+        K_new = (cache.K + jnp.outer(e_i, k_vec) + jnp.outer(k_vec, e_i)
+                 + (kappa - 1.0) * jnp.outer(e_i, e_i))
 
     x = gp.x.at[i].set(x_new)
     y = gp.y.at[i].set(y_new)
