@@ -136,23 +136,30 @@ def run_suite(variants: Optional[List[Variant]] = None,
         os.makedirs(vdir, exist_ok=True)
         for fn in functions:
             dat = os.path.join(vdir, fn.name + ".dat")
-            # resume: a config with >= nb_reps recorded replicates is done
-            # (long tunnel runs can die to infra faults; reruns skip ahead)
+            # resume: recorded replicates are kept and only the missing rep
+            # indices run (per-rep keys are deterministic in rep, so a
+            # partial file continues exactly where it died — no duplicate
+            # rows, no double-counted medians)
+            done = 0
+            accs, times, compiles = [], [], []
             if os.path.exists(dat):
-                with open(dat) as fh:
-                    done = sum(1 for _ in fh)
+                rows = np.loadtxt(dat, ndmin=2)
+                done = min(rows.shape[0], nb_reps)
+                accs = [float(a) for a in rows[:done, 0]]
+                times = [float(t) for t in rows[:done, 1]]
                 if done >= nb_reps:
-                    rows = np.loadtxt(dat, ndmin=2)[:nb_reps]
                     summary[f"{v.name}/{fn.name}"] = {
-                        "accuracy": float(np.median(rows[:, 0])),
-                        "time_ms": float(np.median(rows[:, 1])),
+                        "accuracy": float(np.median(rows[:nb_reps, 0])),
+                        "time_ms": float(np.median(rows[:nb_reps, 1])),
                         "compile_ms": 0.0}
                     if verbose:
                         print(f"{v.name:18s} {fn.name:16s} resumed "
                               f"({done} replicates on disk)", flush=True)
                     continue
-            accs, times, compiles = [], [], []
-            for rep in range(nb_reps):
+                if done and verbose:
+                    print(f"{v.name:18s} {fn.name:16s} resuming at "
+                          f"replicate {done}/{nb_reps}", flush=True)
+            for rep in range(done, nb_reps):
                 key = jax.random.PRNGKey(1000 * rep + 7)
                 acc, ms, comp_ms = run_one(v, fn, n_init, n_iters, key, dtype,
                                            measure_compile=(rep == 0))

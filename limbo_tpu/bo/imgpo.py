@@ -145,20 +145,24 @@ class IMGPO:
             # running max; realize GP-estimated selections (imgpo.hpp:134-167)
             i_max: List[int] = [-1] * (depth_T + 1)
             b_max: List[float] = [-_INF] * (depth_T + 1)
-            b_hi_max = -_INF
+            b_hi_max = -_INF        # committed max over shallower selections
             for h in range(depth_T + 1):
                 while True:
+                    # fresh argmax at this depth vs the shallower-depth max:
+                    # a realized GP estimate can DROP below a sibling, so the
+                    # re-scan must not keep the stale optimistic value
+                    best_i, best_f = -1, b_hi_max
                     for i, c in enumerate(tree[h]):
-                        if c.leaf and c.f > b_hi_max:
-                            b_hi_max = c.f
-                            i_max[h] = i
-                            b_max[h] = c.f
-                    if i_max[h] == -1:
+                        if c.leaf and c.f > best_f:
+                            best_f = c.f
+                            best_i = i
+                    i_max[h] = best_i
+                    if best_i == -1:
                         break
-                    cell = tree[h][i_max[h]]
-                    if cell.sampled:
-                        break
-                    if evals >= self.max_evals:
+                    b_max[h] = best_f
+                    cell = tree[h][best_i]
+                    if cell.sampled or evals >= self.max_evals:
+                        b_hi_max = best_f   # commit for deeper depths
                         break
                     cell.f = evaluate(cell.x)       # realize the GP estimate
                     cell.sampled = True

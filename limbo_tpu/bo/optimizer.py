@@ -170,6 +170,22 @@ class BOptimizer:
         # (CG, no Cholesky — the very-large-n option).
         if model_type not in ("gp", "spgp", "iterative"):
             raise ValueError(f"unknown model_type {model_type!r}")
+        # exact-GP-only features: the K^{-1} query cache and the hp-opt
+        # strategies operate on the Cholesky state (L/alpha) that SPGP /
+        # IterativeGP do not carry — fail at construction, not mid-run
+        if model_type != "gp":
+            if use_query_cache:
+                raise ValueError(
+                    f"use_query_cache requires model_type='gp' "
+                    f"(got {model_type!r}: no Cholesky factor to cache)")
+            if hp_opt is not None or hp_period > 0:
+                raise ValueError(
+                    f"hp_opt/hp_period require model_type='gp' "
+                    f"(got {model_type!r}; SPGP optimizes its own "
+                    f"hyperparameters via models.spgp.SPGPHpOpt)")
+            if max_model_points is not None:
+                raise ValueError(
+                    "max_model_points (SparsifiedGP) requires model_type='gp'")
         self.model_type = model_type
         self.model_options = dict(model_options or {})
         # cadence of full re-solves for models without incremental updates
@@ -311,6 +327,11 @@ class BOptimizer:
             state.iteration = 0  # current-run counter resets; total continues
             need = self._capacity(extra=int(state.gp.n))
             if need > state.gp.capacity:
+                if self.model_type != "gp":
+                    raise NotImplementedError(
+                        f"resume past capacity needs gp_mod.grow, which is "
+                        f"exact-GP only (model_type={self.model_type!r}); "
+                        f"restart with a larger MaxIterations budget instead")
                 state.gp = gp_mod.grow(state.gp, need)
 
         if self._propose_jit is None:
@@ -481,6 +502,10 @@ class BOptimizer:
         benchmark or a simulator jitted in JAX).  Returns the final state and
         a history dict with per-iteration samples/observations/best values.
         """
+        if self.model_type != "gp":
+            raise NotImplementedError(
+                f"optimize_jit runs the exact-GP scan loop only; "
+                f"model_type={self.model_type!r} is supported by optimize()")
         key = key if key is not None else jax.random.PRNGKey(0)
         iters = (n_iterations if n_iterations is not None
                  else self._max_iterations())

@@ -105,7 +105,10 @@ def cg_solve(matvec: Callable, B: jax.Array, tol: float = 1e-6,
     (reverse-mode cannot go through the dynamic while_loop itself, and the
     iterates are the wrong thing to differentiate anyway).  Gradients do NOT
     flow through `matvec`'s captured parameters (kernel hyperparameters) —
-    hp-opt for the CG model family re-fits instead.
+    hp-opt for the CG model family re-fits instead.  The residual norms are
+    a convergence DIAGNOSTIC and are deliberately non-differentiable (their
+    cotangent is dropped, i.e. stop_gradient semantics): don't build losses
+    on them.
     """
     return _cg_solve_impl(matvec, B, tol, maxiter)
 

@@ -78,11 +78,16 @@ def _interpret() -> bool:
 # Pallas panel kernels (factor/invert one B x B diagonal block in VMEM)
 # ---------------------------------------------------------------------------
 
-def _unrolled_pivot_chol(P, w, dtype, tiny):
+def _unrolled_pivot_chol(P, w, dtype):
     """Cholesky of a w x w pivot block, fully unrolled (register-level).
 
     Returns (Lw, Lwinv) — both lower triangular.  Static python loop: no
     loop-carried memory traffic, just straight-line vector code.
+
+    Indefinite pivots are NOT clamped: a negative pivot yields sqrt(<0) =
+    NaN exactly like stock XLA cholesky, so the non-finite result reaches
+    gp.recompute's jitter-escalation retry / add_sample's degenerate-append
+    fallback instead of silently producing huge finite columns.
     """
     aw = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)    # (w, 1) row ids
     ar = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)    # (1, w) col ids
@@ -92,23 +97,13 @@ def _unrolled_pivot_chol(P, w, dtype, tiny):
         lrow = Lw[a:a + 1, :]                                 # (1, w)
         s = jnp.dot(Lw, lrow.reshape(w, 1),
                     preferred_element_type=dtype, precision=HIGHEST)  # (w,1)
-        d = jnp.sqrt(jnp.maximum(P[a:a + 1, a:a + 1] - s[a:a + 1, :], tiny))
+        d = jnp.sqrt(P[a:a + 1, a:a + 1] - s[a:a + 1, :])
         col = (P[:, a:a + 1] - s) / d                         # (w, 1)
         col = jnp.where(aw > a, col,
                         jnp.where(aw == a, jnp.broadcast_to(d, (w, 1)),
                                   jnp.zeros((w, 1), dtype)))
         Lw = jnp.where(ar == a, jnp.broadcast_to(col, (w, w)), Lw)
-    # forward-substitution inverse, rows top-down (row a uses rows < a)
-    Lwi = jnp.zeros((w, w), dtype)
-    for a in range(w):
-        lrow = Lw[a:a + 1, :]                                 # (1, w)
-        r = jnp.dot(lrow, Lwi, preferred_element_type=dtype,
-                    precision=HIGHEST)                        # (1, w)
-        e_row = jnp.where(ar == a, jnp.ones((1, w), dtype),
-                          jnp.zeros((1, w), dtype))
-        new_row = (e_row - r) / Lw[a:a + 1, a:a + 1]
-        Lwi = jnp.where(aw == a, jnp.broadcast_to(new_row, (w, w)), Lwi)
-    return Lw, Lwi
+    return Lw, _unrolled_lower_inv(Lw, w, dtype)
 
 
 def _unrolled_pivot_upper_inv(Uw, w, dtype):
@@ -143,7 +138,6 @@ def _panel_kernel(a_ref, lt_ref, v_ref):
     w = PIVOT_W
     nbw = B // w
     dtype = a_ref.dtype
-    tiny = jnp.asarray(1e-30, dtype)
     one = jnp.ones((), dtype)
     zero = jnp.zeros((), dtype)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)   # (B, 1)
@@ -165,7 +159,7 @@ def _panel_kernel(a_ref, lt_ref, v_ref):
         E = jnp.where(iota_c == (j + wr_c.reshape(1, w)), one, zero)  # (B, w)
         P = jnp.dot(W, E, preferred_element_type=dtype,
                     precision=HIGHEST)                        # (w, w)
-        Lw, Lwi = _unrolled_pivot_chol(P, w, dtype, tiny)
+        Lw, Lwi = _unrolled_pivot_chol(P, w, dtype)
         Ct = jnp.dot(Lwi, W, preferred_element_type=dtype,
                      precision=HIGHEST)                       # (w, B)
         rowmask = iota_r >= (j + wr_c)                        # (w, B)

@@ -53,7 +53,11 @@ def initialize(coordinator_address: Optional[str] = None,
                          else int(os.environ.get("SLURM_NTASKS", "1")))
         process_id = (process_id if process_id is not None
                       else int(os.environ.get("SLURM_PROCID", "0")))
-    if coordinator_address is not None and (num_processes or 1) > 1:
+    # With an explicit coordinator, always join — jax.distributed can infer
+    # num_processes itself; skipping on `num_processes is None` would
+    # silently leave the caller as an isolated single-process run.  Only the
+    # explicit single-process case (num_processes=1) is a no-op.
+    if coordinator_address is not None and num_processes != 1:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id,

@@ -24,6 +24,8 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,8 +55,7 @@ def run(n=10000, iters=200, d=8, probe_every=10, mu_tol=1e-3,
 
     @jax.jit
     def probe_residual(gp, cache, key):
-        mask = gp.mask
-        K = gp_mod.masked_identity_gram(gp.kernel.gram_train(gp.x), mask)
+        K = gp.kernel.gram_train_masked(gp.x, gp.n)
         v = jax.random.normal(key, (gp.capacity, 8), dtype=gp.x.dtype)
         r = jnp.dot(K, jnp.dot(cache.Kinv, v,
                                preferred_element_type=gp.x.dtype),

@@ -88,6 +88,27 @@ def test_bo_suite_smoke(tmp_path):
     assert (tmp_path / "smoke" / "Sphere.dat").exists()
 
 
+def test_bo_suite_resume_no_duplicate_rows(tmp_path):
+    """A partially-complete .dat resumes at the missing replicate index —
+    no appended duplicates, no double-counted medians."""
+    from limbo_tpu.benchmarks.bo_suite import Variant, run_suite
+    from limbo_tpu.acqui import UCB
+    from limbo_tpu.opt import RandomRestarts, Rprop
+
+    v = Variant("resume", UCB(0.5),
+                RandomRestarts(sub=Rprop(iterations=10), repeats=2,
+                               sweep_samples=64))
+    # simulate a run that died after 1 of 2 replicates
+    vdir = tmp_path / "resume"
+    vdir.mkdir()
+    (vdir / "Sphere.dat").write_text("0.123456 42.000\n")
+    run_suite([v], [SPHERE], nb_reps=2, n_init=4, n_iters=6,
+              out_dir=str(tmp_path), dtype=jnp.float64, verbose=False)
+    rows = np.loadtxt(vdir / "Sphere.dat", ndmin=2)
+    assert rows.shape[0] == 2                       # 1 kept + 1 new, not 1+2
+    assert rows[0, 0] == 0.123456                   # recorded row preserved
+
+
 def test_regression_suite_smoke(tmp_path):
     from limbo_tpu.benchmarks.regression_suite import (
         ModelSpec,

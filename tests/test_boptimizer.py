@@ -212,3 +212,20 @@ def test_optimize_jit_rejects_host_only_criterion():
     bo = BOptimizer(stop=(HostOnly(),), stats_enabled=False)
     with pytest.raises(TypeError):
         bo.optimize_jit(lambda x: x[:1], dim_in=1)
+
+
+def test_model_type_feature_validation():
+    """Exact-GP-only features fail at construction for spgp/iterative
+    (they carry no Cholesky state), not with an AttributeError mid-run."""
+    from limbo_tpu.models.hp_opt import KernelLFOpt
+
+    with pytest.raises(ValueError, match="use_query_cache"):
+        BOptimizer(model_type="iterative", use_query_cache=True)
+    with pytest.raises(ValueError, match="hp_opt"):
+        BOptimizer(model_type="spgp", hp_opt=KernelLFOpt(), hp_period=5)
+    with pytest.raises(ValueError, match="max_model_points"):
+        BOptimizer(model_type="iterative", max_model_points=50)
+    # optimize_jit is the exact-GP scan loop only
+    bo = BOptimizer(model_type="iterative", stop=(MaxIterations(3),))
+    with pytest.raises(NotImplementedError, match="optimize_jit"):
+        bo.optimize_jit(lambda x: -jnp.sum(x**2)[None], dim_in=2)

@@ -118,3 +118,17 @@ def test_jit_and_scan_safe(rng):
     vals = np.asarray(run(K))
     assert np.all(np.isfinite(vals))
     assert np.allclose(vals, vals[0])
+
+
+def test_indefinite_input_propagates_nonfinite(rng):
+    """An indefinite matrix must yield non-finite entries (like stock XLA
+    cholesky) rather than clamped finite garbage — gp.recompute's
+    jitter-escalation retry keys on isfinite(L)."""
+    n = 64
+    A = jnp.asarray(_spd(rng, n, dtype=np.float32))
+    A = A - 10.0 * jnp.eye(n, dtype=A.dtype)        # push eigenvalues < 0
+    L = cholesky_blocked(A, block=32)
+    assert not bool(jnp.all(jnp.isfinite(L)))
+    # and the reference behaves the same way
+    Lx = jnp.linalg.cholesky(A)
+    assert not bool(jnp.all(jnp.isfinite(Lx)))
