@@ -178,11 +178,24 @@ class BOptimizer:
                 raise ValueError(
                     f"use_query_cache requires model_type='gp' "
                     f"(got {model_type!r}: no Cholesky factor to cache)")
-            if hp_opt is not None or hp_period > 0:
+            # hp-opt is model-family-specific: the GP strategies
+            # (models/hp_opt.py) rebuild the Cholesky state that SPGP /
+            # IterativeGP do not carry.  SPGP has its own joint
+            # pseudo-input+hyperparameter optimizer (SPGPHpOpt) that the
+            # loop fires through the same hp_period cadence.
+            if hp_opt is not None:
+                from limbo_tpu.models.spgp import SPGPHpOpt
+                if not (model_type == "spgp"
+                        and isinstance(hp_opt, SPGPHpOpt)):
+                    raise ValueError(
+                        f"hp_opt for model_type={model_type!r} must be a "
+                        f"models.spgp.SPGPHpOpt (spgp only); the GP "
+                        f"strategies in models/hp_opt.py need the exact-GP "
+                        f"Cholesky state")
+            elif hp_period > 0:
                 raise ValueError(
-                    f"hp_opt/hp_period require model_type='gp' "
-                    f"(got {model_type!r}; SPGP optimizes its own "
-                    f"hyperparameters via models.spgp.SPGPHpOpt)")
+                    f"hp_period > 0 without hp_opt does nothing for "
+                    f"model_type={model_type!r}")
             if max_model_points is not None:
                 raise ValueError(
                     "max_model_points (SparsifiedGP) requires model_type='gp'")
