@@ -85,7 +85,7 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
               if os.environ.get("LIMBO_BENCH_QDTYPE", "bf16") == "bf16"
               else None)
     t0 = time.perf_counter()
-    cache = jax.jit(partial(gp_mod.QueryCache.build, with_K=True,
+    cache = jax.jit(partial(gp_mod.QueryCache.build, with_Linv=True,
                             qdtype=qdtype))(gp)
     float(cache.Kinv[0, 0])
     _log(f"cache built in {time.perf_counter()-t0:.0f}s"
@@ -105,10 +105,11 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
         start = jnp.full((gp.dim_in,), 0.5, dtype=gp.x.dtype)
         res = opt(acq_fn, start, key, True)
         y = jnp.sin(3.0 * jnp.sum(res.x))[None]
-        # "refined" cached update: matvec-only with one iterative-refinement
-        # step — near-solve accuracy at fast-path speed (docs/BENCHMARKS.md)
+        # "linv" cached update: pivot from the maintained inverse Cholesky
+        # factor — solve-grade accuracy at the lowest HBM traffic of any
+        # mode (5.71 ms/iter vs 7.72 refined at n=10k; docs/BENCHMARKS.md)
         return gp_mod.add_sample_cached(gp, cache, res.x, y,
-                                        fast_update="refined")
+                                        fast_update="linv")
 
     t0 = time.perf_counter()
     gp, cache = bo_iter(gp, cache, key)

@@ -56,7 +56,7 @@ def _nll_and_grad(params, X, Y, optimize_noise):
     Kn = K + (noise_var + JITTER) * np.eye(n)
     L = np.linalg.cholesky(Kn)
     alpha = np.linalg.solve(L.T, np.linalg.solve(L, Y))
-    lml = (-0.5 * float(Y.T @ alpha)
+    lml = (-0.5 * float(np.sum(Y * alpha))
            - np.sum(np.log(np.diag(L)))
            - 0.5 * n * math.log(2 * math.pi))
     # W = alpha alpha^T - K^{-1}  (gp.hpp:285-313)

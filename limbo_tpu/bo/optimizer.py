@@ -148,9 +148,11 @@ class BOptimizer:
         # and query through it (no triangular solves on the hot loop)
         self.use_query_cache = use_query_cache
         # cached-add mode: False = solve-based u (most accurate, 2 solves),
-        # "refined" = matvec-only with one iterative-refinement step
-        # (near-solve accuracy, fastest accurate option), True = raw matmul
-        # u (fastest; compounding drift — pair with a small refresh period).
+        # "linv" = matvec-only via a maintained inverse Cholesky factor
+        # (solve-grade accuracy, lowest HBM traffic — the fastest accurate
+        # option), "refined" = matvec-only with one iterative-refinement
+        # step against a maintained K mirror, True = raw matmul u (fastest
+        # per-pass; compounding drift — pair with a small refresh period).
         # See gp.add_sample_cached + docs/BENCHMARKS.md.
         self.cache_fast_update = cache_fast_update
         # rebuild K^{-1} exactly every N cached adds (bounds f32 drift of
@@ -410,8 +412,10 @@ class BOptimizer:
     def _build_cache(self, gp):
         if getattr(self, "_cache_jit", None) is None:
             with_K = self.cache_fast_update == "refined"
+            with_Linv = self.cache_fast_update == "linv"
             self._cache_jit = jax.jit(
                 partial(gp_mod.QueryCache.build, with_K=with_K,
+                        with_Linv=with_Linv,
                         qdtype=self.cache_query_dtype))
         return self._cache_jit(gp)
 
@@ -555,7 +559,9 @@ class BOptimizer:
             gp, _ = jax.lax.scan(seed, gp0, (X0, Y0.astype(dtype)))
             use_cache = self.use_query_cache
             with_K = self.cache_fast_update == "refined"
+            with_Linv = self.cache_fast_update == "linv"
             cache = (gp_mod.QueryCache.build(gp, with_K=with_K,
+                                             with_Linv=with_Linv,
                                              qdtype=self.cache_query_dtype)
                      if use_cache
                      else gp_mod.QueryCache(Kinv=jnp.zeros((1, 1), dtype)))
@@ -591,7 +597,7 @@ class BOptimizer:
                         cache = jax.lax.cond(
                             (it + 1) % hp_period == 0,
                             lambda g: gp_mod.QueryCache.build(
-                                g, with_K=with_K,
+                                g, with_K=with_K, with_Linv=with_Linv,
                                 qdtype=self.cache_query_dtype),
                             lambda g: cache, gp)
                 agg_y = aggregator(y)

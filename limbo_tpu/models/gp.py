@@ -312,6 +312,13 @@ class QueryCache:
     # u <- u + Kinv (k - K u) replaces two serialized triangular solves
     # (matvec-only, MXU/bandwidth-bound) while matching their accuracy.
     K: Optional[jax.Array] = None
+    # Optionally the inverse Cholesky factor L^{-1} (lower triangular,
+    # padded-identity) — enables the "linv" cached update: the pivot
+    # u = K^{-1}k = Linv^T (Linv k) comes from two matvec passes at
+    # solve-grade accuracy, and the bordered Linv row is -(u/d)^T — free
+    # given u.  Cheapest update mode: no K mirror to maintain, no
+    # iterative-refinement pass (see add_sample_cached).
+    Linv: Optional[jax.Array] = None
     # Optional low-precision (bf16) mirror of Kinv used ONLY for the
     # variance quadratic form in query_cached. At large n the per-step
     # acquisition queries are HBM-bandwidth-bound on the n x n Kinv read
@@ -325,7 +332,8 @@ class QueryCache:
 
     @classmethod
     def build(cls, gp: GP, block: int = 1024,
-              with_K: bool = False, qdtype=None) -> "QueryCache":
+              with_K: bool = False, with_Linv: bool = False,
+              qdtype=None) -> "QueryCache":
         """Blocked inversion: Linv column-panels via scanned triangular
         solves, then Kinv = Linv^T Linv (one matmul).
 
@@ -344,7 +352,7 @@ class QueryCache:
             Linv = tri_inv_dispatch(gp.L)
             Kinv = jnp.dot(Linv.T, Linv, preferred_element_type=gp.x.dtype,
                            precision=jax.lax.Precision.HIGHEST)
-            return cls(Kinv=Kinv, K=K,
+            return cls(Kinv=Kinv, K=K, Linv=Linv if with_Linv else None,
                        Kinv_q=Kinv.astype(qdtype) if qdtype else None)
         block = min(block, N)
         nb = -(-N // block)
@@ -362,7 +370,7 @@ class QueryCache:
         # so stacked panels give Linv^T with shape (N, N); Kinv = Linv^T @ Linv
         LinvT = Linv                                             # (N, N) = Linv^T
         Kinv = jnp.dot(LinvT, LinvT.T, preferred_element_type=gp.x.dtype)
-        return cls(Kinv=Kinv, K=K,
+        return cls(Kinv=Kinv, K=K, Linv=LinvT.T if with_Linv else None,
                    Kinv_q=Kinv.astype(qdtype) if qdtype else None)
 
 
@@ -490,14 +498,20 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
     drift over 100-append f32 horizons (2e-4 vs 2e-2 max |d mu|, flat vs
     compounding; tests/test_gp.py::test_cached_kinv_drift_bounded).
 
-    Three update modes (measured at n=10240 f32, docs/BENCHMARKS.md):
+    Four update modes (measured at n=10240 f32, docs/BENCHMARKS.md):
       * ``fast_update=False``  — u by two triangular solves on L: most
         accurate (~2e-4 drift over 100 appends), ~54 ms/iter (solves
         serialize).
       * ``fast_update="refined"`` — u = Kinv k polished by one iterative-
         refinement step against the cached K (requires
         QueryCache.build(with_K=True)): matvec-only, near-solve accuracy.
-      * ``fast_update=True``   — raw u = Kinv k: fastest (~26 ms/iter),
+      * ``fast_update="linv"`` — u = Linv^T (Linv k) from a maintained
+        inverse Cholesky factor (requires QueryCache.build(with_Linv=True)):
+        solve-grade pivot from two matvec passes, and the Cholesky row
+        l = Linv k and the bordered Linv row -(u/d)^T fall out for free —
+        the lowest-HBM-traffic mode (no K mirror to maintain, no
+        refinement pass).
+      * ``fast_update=True``   — raw u = Kinv k: fastest per-pass,
         compounding drift — pair with a small cache_refresh_period.
     """
     i = gp.n
@@ -511,7 +525,18 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
              + gp.kernel.train_diag_add(x_new[None, :])[0])
     N = gp.capacity
     e_i = (jnp.arange(N) == i).astype(dtype)
-    if fast_update == "refined":
+    Linv_new = cache.Linv
+    if fast_update == "linv":
+        if cache.Linv is None:
+            raise ValueError("linv updates need QueryCache.build(with_Linv=True)")
+        # l = L^{-1}k exactly (k is masked; Linv's padded rows are e_j, so l
+        # is masked automatically); u = K^{-1}k = Linv^T l — solve-grade
+        # accuracy from two matvec passes, no refinement needed.
+        l = jnp.dot(cache.Linv, k_vec, preferred_element_type=dtype) * mask
+        u = jnp.dot(cache.Linv.T, l, preferred_element_type=dtype) * mask
+        s = jnp.maximum(kappa - jnp.dot(k_vec, u),
+                        effective_jitter(dtype) * kappa)
+    elif fast_update == "refined":
         if cache.K is None:
             raise ValueError("refined updates need QueryCache.build(with_K=True)")
         u = jnp.dot(cache.Kinv, k_vec, preferred_element_type=dtype) * mask
@@ -546,6 +571,12 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
 
     d = jnp.sqrt(s)
     L = gp.L.at[i].set(l * mask + d * e_i)
+    if Linv_new is not None:
+        # bordered triangular inverse: L' = [[L, 0], [l^T, d]] gives
+        # L'^{-1} = [[Linv, 0], [-(1/d) l^T Linv, 1/d]], and
+        # l^T Linv = (Linv^T l)^T = u^T — the border row is free given the
+        # pivot.  One in-place row write (u is masked, u[i] = 0).
+        Linv_new = cache.Linv.at[i].set(-(u / d) * mask + (1.0 / d) * e_i)
 
     K_new = cache.K
     if K_new is not None:
@@ -566,7 +597,7 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
     Kinv_q = (Kinv.astype(cache.Kinv_q.dtype)
               if cache.Kinv_q is not None else None)
     return (gp2.replace(mean=mean, alpha=alpha),
-            QueryCache(Kinv=Kinv, K=K_new, Kinv_q=Kinv_q))
+            QueryCache(Kinv=Kinv, K=K_new, Linv=Linv_new, Kinv_q=Kinv_q))
 
 
 # ---------------------------------------------------------------------------

@@ -7,7 +7,8 @@ Isolates where the ~27 ms/iteration goes:
     optimize_jit execution style) — any gap vs python-loop is host dispatch
     overhead on the tunneled backend;
   * acquisition-only: the RandomRestarts maximization alone, chained;
-  * update-only: add_sample_cached (refined mode) alone, chained.
+  * update-only: add_sample_cached ("linv" mode, the shipped
+    bench default) alone, chained.
 
 Usage: python scripts/iter_breakdown_bench.py [n] [iters]
 """
@@ -54,7 +55,7 @@ def setup(n, d, iters):
     float(gp.L[0, 0])
     log(f"fit {time.perf_counter()-t0:.0f}s")
     t0 = time.perf_counter()
-    cache = jax.jit(partial(gp_mod.QueryCache.build, with_K=True,
+    cache = jax.jit(partial(gp_mod.QueryCache.build, with_Linv=True,
                             qdtype=jnp.bfloat16))(gp)
     float(cache.Kinv[0, 0])
     log(f"cache {time.perf_counter()-t0:.0f}s")
@@ -75,7 +76,7 @@ def make_parts(gp0):
 
     def update(gp, cache, x, y):
         return gp_mod.add_sample_cached(gp, cache, x, y,
-                                        fast_update="refined")
+                                        fast_update="linv")
 
     def bo_iter(gp, cache, key):
         x = acquire(gp, cache, key)

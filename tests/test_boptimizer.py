@@ -141,6 +141,26 @@ def test_bo_query_cache_bf16_mirror_path():
     assert float(history["best"][-1]) > -1e-2
 
 
+@pytest.mark.parametrize("mode", ["refined", "linv", True])
+def test_bo_query_cache_fast_update_modes(mode):
+    """Every cached-add mode drives the BO loop to the optimum through both
+    the host loop and the jitted scan loop (gp.add_sample_cached modes)."""
+    bo = make_bo(UCB(alpha=0.5), iters=30)
+    bo.use_query_cache = True
+    bo.cache_fast_update = mode
+    state = bo.optimize(quad, dim_in=2, key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(state.best_sample, [OPT_X, OPT_X], atol=0.1)
+
+    def f(x):
+        return jnp.asarray([-jnp.sum((x - OPT_X) ** 2)])
+
+    bo2 = make_bo(UCB(alpha=0.5), iters=25)
+    bo2.use_query_cache = True
+    bo2.cache_fast_update = mode
+    state, history = bo2.optimize_jit(f, dim_in=2, key=jax.random.PRNGKey(9))
+    assert float(history["best"][-1]) > -1e-2
+
+
 def test_bo_unbounded():
     """Unbounded search finds an optimum outside [0,1]^d
     (limbo test_boptimizer.cpp:168 with CMA-ES unbounded)."""

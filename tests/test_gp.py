@@ -487,6 +487,50 @@ def test_cached_kinv_refined_mode_drift():
     assert float(jnp.max(jnp.abs(cache.K - Kex))) < 1e-5
 
 
+def test_cached_kinv_linv_mode_drift():
+    """fast_update="linv" (pivot from a maintained inverse Cholesky factor)
+    matches the solve path's drift envelope with the lowest HBM traffic of
+    the accurate modes — no K mirror, no refinement pass."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from limbo_tpu.kernels import SquaredExpARD
+    from limbo_tpu.means import DataMean
+    from limbo_tpu.models import gp as gp_mod
+
+    dtype = jnp.float32
+    d = 3
+    key = jax.random.PRNGKey(0)
+    kx, ky = jax.random.split(key)
+    X = jax.random.uniform(kx, (64, d), dtype=dtype)
+    Y = jnp.sin(3.0 * jnp.sum(X, axis=1, keepdims=True)) \
+        + 0.1 * jax.random.normal(ky, (64, 1), dtype=dtype)
+    gp = gp_mod.fit(SquaredExpARD.create(dim=d, dtype=dtype),
+                    DataMean.create(dim_out=1, dtype=dtype), X, Y,
+                    capacity=256)
+    cache = gp_mod.QueryCache.build(gp, with_Linv=True)
+    add = jax.jit(functools.partial(gp_mod.add_sample_cached,
+                                    fast_update="linv"))
+    k = jax.random.PRNGKey(1)
+    for _ in range(100):
+        k, kx2 = jax.random.split(k)
+        x_new = jax.random.uniform(kx2, (d,), dtype=dtype)
+        gp, cache = add(gp, cache, x_new, jnp.sin(3.0 * jnp.sum(x_new))[None])
+
+    Xq = jax.random.uniform(jax.random.PRNGKey(2), (128, d), dtype=dtype)
+    mu_c, var_c = gp_mod.query_cached(gp, cache, Xq)
+    gp_x = gp_mod.recompute(gp)
+    cache_x = gp_mod.QueryCache.build(gp_x)
+    mu_e, var_e = gp_mod.query_cached(gp_x, cache_x, Xq)
+    assert float(jnp.max(jnp.abs(mu_c - mu_e))) < 2e-3
+    assert float(jnp.max(jnp.abs(var_c - var_e))) < 5e-3
+    # the maintained Linv stays consistent with the maintained L
+    eye = jnp.eye(gp.capacity, dtype=dtype)
+    assert float(jnp.max(jnp.abs(cache.Linv @ gp.L - eye))) < 1e-3
+
+
 def test_f32_lml_gradient_pathology_and_f64_fix():
     """Root cause of the round-1 hp-opt accuracy regressions: on BO-like
     clustered data with noise=1e-10 the f32 LML gradient goes NaN (Cholesky
