@@ -531,9 +531,12 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
             raise ValueError("linv updates need QueryCache.build(with_Linv=True)")
         # l = L^{-1}k exactly (k is masked; Linv's padded rows are e_j, so l
         # is masked automatically); u = K^{-1}k = Linv^T l — solve-grade
-        # accuracy from two matvec passes, no refinement needed.
-        l = jnp.dot(cache.Linv, k_vec, preferred_element_type=dtype) * mask
-        u = jnp.dot(cache.Linv.T, l, preferred_element_type=dtype) * mask
+        # accuracy from two matvec passes, no refinement needed.  The
+        # triangular-aware Pallas matvec reads only the lower-triangle
+        # blocks (ops/trimv.py; dense-dot fallback off-TPU / small N).
+        from limbo_tpu.ops.trimv import trimv
+        l = trimv(cache.Linv, k_vec) * mask
+        u = trimv(cache.Linv, l, transpose=True) * mask
         s = jnp.maximum(kappa - jnp.dot(k_vec, u),
                         effective_jitter(dtype) * kappa)
     elif fast_update == "refined":
