@@ -63,7 +63,7 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
     from limbo_tpu.opt.compose import RandomRestarts
     from limbo_tpu.opt.gradient import Rprop
 
-    capacity = -(-(n + iters + 2) // 256) * 256
+    capacity = -(-(n + iters + 2) // 512) * 512
     key = jax.random.PRNGKey(0)
     kx, ky = jax.random.split(key)
     X = jax.random.uniform(kx, (n, d), dtype=jnp.float32)

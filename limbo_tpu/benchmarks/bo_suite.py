@@ -53,6 +53,13 @@ def default_variants() -> List[Variant]:
     grad_restarts = RandomRestarts(sub=Rprop(iterations=30), repeats=32,
                                    sweep_samples=1024)
     cmaes = Cmaes(iterations=80, pop_size=16)
+    # acq_wide: same 2016-eval budget as limbo_def but wide-over-deep
+    # (64 restarts x 15 ascent steps): ascent steps serialize while restarts
+    # batch for free, so this schedule halves the sequential depth of the
+    # acquisition phase — the quality A/B behind the headline bench's
+    # schedule choice (docs/BENCHMARKS.md).
+    wide_restarts = RandomRestarts(sub=Rprop(iterations=15), repeats=64,
+                                   sweep_samples=1024)
     return [
         Variant("limbo_def", UCB(alpha=0.125), grad_restarts),
         Variant("limbo_def_hpopt", UCB(alpha=0.125), grad_restarts,
@@ -60,6 +67,7 @@ def default_variants() -> List[Variant]:
         Variant("opt_cmaes", UCB(alpha=0.125), cmaes),
         Variant("acq_ei", EI(), grad_restarts),
         Variant("acq_ucb", UCB(alpha=0.125), grad_restarts),
+        Variant("acq_wide", UCB(alpha=0.125), wide_restarts),
     ]
 
 
@@ -180,6 +188,14 @@ def run_suite(variants: Optional[List[Variant]] = None,
                 print(f"{v.name:18s} {fn.name:16s} "
                       f"acc={med_acc:.4f} time={med_ms:.1f}ms "
                       f"compile={compiles[0]:.0f}ms", flush=True)
-    with open(os.path.join(out_dir, "summary.json"), "w") as fh:
-        json.dump(summary, fh, indent=1)
-    return summary
+    # merge into any existing summary: a partial run (subset of variants /
+    # functions) must not clobber previously recorded entries
+    path = os.path.join(out_dir, "summary.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            merged = json.load(fh)
+    merged.update(summary)
+    with open(path, "w") as fh:
+        json.dump(merged, fh, indent=1)
+    return merged

@@ -410,22 +410,28 @@ class BOptimizer:
         return self._add_jit(gp, x, y)
 
     def _build_cache(self, gp):
-        if getattr(self, "_cache_jit", None) is None:
+        # keyed on the mode: flipping cache_fast_update between optimize()
+        # calls must not reuse a jit traced for the old mode (stale
+        # with_K/with_Linv would silently run the wrong update path)
+        key = (self.cache_fast_update, self.cache_query_dtype)
+        if getattr(self, "_cache_jit_key", None) != key:
             with_K = self.cache_fast_update == "refined"
             with_Linv = self.cache_fast_update == "linv"
             self._cache_jit = jax.jit(
                 partial(gp_mod.QueryCache.build, with_K=with_K,
                         with_Linv=with_Linv,
                         qdtype=self.cache_query_dtype))
+            self._cache_jit_key = key
         return self._cache_jit(gp)
 
     def _add_cached(self, gp, cache, x, y):
-        if getattr(self, "_add_cached_jit", None) is None:
+        fast = self.cache_fast_update
+        if getattr(self, "_add_cached_jit_key", "?") != fast:
             # donate gp+cache: K^{-1}/L update in place (no 2x n^2 copies)
-            fast = self.cache_fast_update
             self._add_cached_jit = jax.jit(
                 partial(gp_mod.add_sample_cached, fast_update=fast),
                 donate_argnums=(0, 1))
+            self._add_cached_jit_key = fast
         return self._add_cached_jit(gp, cache, x, y)
 
     def _add_sparse(self, gp, x, y):

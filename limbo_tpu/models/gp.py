@@ -354,9 +354,12 @@ class QueryCache:
                            precision=jax.lax.Precision.HIGHEST)
             return cls(Kinv=Kinv, K=K, Linv=Linv if with_Linv else None,
                        Kinv_q=Kinv.astype(qdtype) if qdtype else None)
-        block = min(block, N)
-        nb = -(-N // block)
-        Npad = nb * block
+        # the panel width must DIVIDE N: dynamic_slice clamps out-of-range
+        # starts, so a ragged last panel would silently duplicate earlier
+        # rows into the tail of Linv^T (garbage inverse).  Largest divisor
+        # of N not exceeding the requested block:
+        block = next(d for d in range(min(block, N), 0, -1) if N % d == 0)
+        nb = N // block
         eye = jnp.eye(N, dtype=gp.x.dtype)
 
         def body(_, i):
@@ -365,7 +368,7 @@ class QueryCache:
             return None, panel.T                                  # (block, N)
 
         _, panels = jax.lax.scan(body, None, jnp.arange(nb))
-        Linv = jnp.reshape(panels, (Npad, N))[:N]                # rows = Linv^T? no:
+        Linv = jnp.reshape(panels, (N, N))                       # rows = Linv^T? no:
         # panels[i] = (Linv @ cols_i)^T = rows i*block..(i+1)*block of Linv^T
         # so stacked panels give Linv^T with shape (N, N); Kinv = Linv^T @ Linv
         LinvT = Linv                                             # (N, N) = Linv^T
@@ -549,6 +552,15 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
                         effective_jitter(dtype) * kappa)
         l = jnp.dot(gp.L.T, u, preferred_element_type=dtype)
     elif fast_update:
+        if cache.Linv is not None:
+            # the raw-matmul pivot u = Kinv k carries compounding drift;
+            # installing -(u/d) rows into a maintained inverse Cholesky
+            # factor would silently corrupt the solve-grade invariant the
+            # "linv" mode depends on.
+            raise ValueError(
+                "fast_update=True would write drift-prone pivots into the "
+                "maintained Linv; use fast_update='linv' with this cache, "
+                "or build it without with_Linv")
         u = jnp.dot(cache.Kinv, k_vec, preferred_element_type=dtype) * mask
         s = jnp.maximum(kappa - jnp.dot(k_vec, u),
                         effective_jitter(dtype) * kappa)

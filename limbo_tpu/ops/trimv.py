@@ -141,6 +141,7 @@ def trimv(L: jax.Array, v: jax.Array, transpose: bool = False,
     block = _pick_block(N)
     use_kernel = (N >= floor and block > 0 and L.ndim == 2
                   and L.shape[1] == N and v.shape == (N,)
+                  and L.dtype == jnp.float32          # Mosaic has no f64 dot
                   and not os.environ.get("LIMBO_TPU_NO_TRIMV"))
     if use_kernel and jax.default_backend() == "tpu":
         return _trimv_pallas(L, v, transpose, block)

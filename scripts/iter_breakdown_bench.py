@@ -41,7 +41,7 @@ def log(msg):
 
 
 def setup(n, d, iters):
-    capacity = -(-(n + iters + 2) // 256) * 256
+    capacity = -(-(n + iters + 2) // 512) * 512
     key = jax.random.PRNGKey(0)
     kx, ky = jax.random.split(key)
     X = jax.random.uniform(kx, (n, d), dtype=jnp.float32)

@@ -1,0 +1,124 @@
+"""Large-n scaling of the headline BO iteration on one chip.
+
+BASELINE.md's north star is the n=10k-50k regime.  This measures, per n:
+  * GP fit (gram + Cholesky + solves) steady-state,
+  * QueryCache build (blocked triangular inverse + Kinv),
+  * BO iteration (acquisition maximization + linv cached update),
+with the bench.py protocol (d=8, 32 restarts x 30 ascent steps + 1024
+sweep, bf16 query mirror).  Memory budget per n (f32): L + Linv + Kinv
++ bf16 mirror ~ 3.5 N^2 bytes + workspace — n=24576 ~ 8.5 GB of a v5e's
+16 GB HBM; beyond that the row-sharded / iterative paths take over
+(parallel/sharded_chol.py, models/iterative.py).
+
+Usage: python scripts/large_n_bench.py [n1 n2 ...]   (default 10240 16384 24576)
+Appends one JSON line per n to scaling_results/large_n.jsonl.
+"""
+
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("LIMBO_TPU_FAST_MATMUL", "1")
+
+import json
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from limbo_tpu.kernels import SquaredExpARD
+from limbo_tpu.means import DataMean
+from limbo_tpu.models import gp as gp_mod
+from limbo_tpu.opt.compose import RandomRestarts
+from limbo_tpu.opt.gradient import Rprop
+
+RESTARTS, ASCENT_STEPS, SWEEP = 32, 30, 1024
+ITERS = 6
+D = 8
+
+
+def log(msg):
+    print(f"[large-n] {msg}", file=sys.stderr, flush=True)
+
+
+def run(n):
+    capacity = -(-(n + ITERS + 2) // 512) * 512
+    kx, ky = jax.random.split(jax.random.PRNGKey(0))
+    X = jax.random.uniform(kx, (n, D), dtype=jnp.float32)
+    Y = jnp.sin(3.0 * jnp.sum(X, axis=1, keepdims=True)) \
+        + 0.1 * jax.random.normal(ky, (n, 1), dtype=jnp.float32)
+    kernel = SquaredExpARD.create(dim=D, dtype=jnp.float32)
+    mean = DataMean.create(dim_out=1, dtype=jnp.float32)
+
+    fit = jax.jit(lambda X, Y: gp_mod.fit(kernel, mean, X, Y,
+                                          capacity=capacity))
+    t0 = time.perf_counter()
+    gp = fit(X, Y)
+    float(gp.L[0, 0])
+    t_fit_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    gp = fit(X, Y)
+    float(gp.L[0, 0])
+    t_fit = time.perf_counter() - t0
+    log(f"n={n}: fit {t_fit*1e3:.0f} ms (cold {t_fit_cold:.0f} s)")
+
+    build = jax.jit(partial(gp_mod.QueryCache.build, with_Linv=True,
+                            qdtype=jnp.bfloat16))
+    t0 = time.perf_counter()
+    cache = build(gp)
+    float(cache.Kinv[0, 0])
+    t_cache_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cache = build(gp)
+    float(cache.Kinv[0, 0])
+    t_cache = time.perf_counter() - t0
+    log(f"n={n}: cache build {t_cache*1e3:.0f} ms (cold {t_cache_cold:.0f} s)")
+
+    opt = RandomRestarts(sub=Rprop(iterations=ASCENT_STEPS),
+                         repeats=RESTARTS, sweep_samples=SWEEP)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def bo_iter(gp, cache, key):
+        def acq_fn(x):
+            mu, var = gp_mod.query_cached(gp, cache, x[None, :])
+            return mu[0, 0] + 0.5 * jnp.sqrt(var[0])
+        start = jnp.full((gp.dim_in,), 0.5, dtype=gp.x.dtype)
+        res = opt(acq_fn, start, key, True)
+        y = jnp.sin(3.0 * jnp.sum(res.x))[None]
+        return gp_mod.add_sample_cached(gp, cache, res.x, y,
+                                        fast_update="linv")
+
+    key = jax.random.PRNGKey(1)
+    gp, cache = bo_iter(gp, cache, key)     # compile
+    float(gp.n)
+    t0 = time.perf_counter()
+    for _ in range(ITERS - 1):
+        key, k = jax.random.split(key)
+        gp, cache = bo_iter(gp, cache, k)
+    float(gp.n)
+    t_iter = (time.perf_counter() - t0) / (ITERS - 1)
+    log(f"n={n}: bo_iter {t_iter*1e3:.2f} ms ({1/t_iter:.1f} iters/s)")
+
+    return {"n": n, "capacity": capacity,
+            "fit_ms": round(t_fit * 1e3, 1),
+            "cache_build_ms": round(t_cache * 1e3, 1),
+            "bo_iter_ms": round(t_iter * 1e3, 2),
+            "iters_per_s": round(1 / t_iter, 1)}
+
+
+def main(ns):
+    os.makedirs("scaling_results", exist_ok=True)
+    out = os.path.join("scaling_results", "large_n.jsonl")
+    for n in ns:
+        rec = run(n)
+        with open(out, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        log(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    ns = [int(a) for a in sys.argv[1:]] or [10240, 16384, 24576]
+    main(ns)

@@ -161,6 +161,20 @@ def test_bo_query_cache_fast_update_modes(mode):
     assert float(history["best"][-1]) > -1e-2
 
 
+def test_bo_cache_mode_switch_not_stale():
+    """Regression: flipping cache_fast_update between optimize() calls was
+    ignored (the cache-build/update jits were memoized for the first mode)."""
+    bo = make_bo(UCB(alpha=0.5), iters=8)
+    bo.use_query_cache = True
+    bo.cache_fast_update = False
+    bo.optimize(quad, dim_in=2, key=jax.random.PRNGKey(0))
+    assert bo._add_cached_jit_key is False
+    bo.cache_fast_update = "linv"
+    bo.optimize(quad, dim_in=2, key=jax.random.PRNGKey(1))
+    assert bo._add_cached_jit_key == "linv"
+    assert bo._cache_jit_key[0] == "linv"
+
+
 def test_bo_unbounded():
     """Unbounded search finds an optimum outside [0,1]^d
     (limbo test_boptimizer.cpp:168 with CMA-ES unbounded)."""

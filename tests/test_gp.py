@@ -444,6 +444,55 @@ def test_cached_kinv_drift_bounded():
     assert d_var < 5e-3, d_var
 
 
+def test_query_cache_build_nondivisible_capacity():
+    """Regression: the scan-fallback build silently produced a garbage
+    inverse when capacity was not divisible by the panel block (ragged last
+    dynamic_slice clamps and duplicates rows) — e.g. capacity 1280 with the
+    default block 1024.  The panel width must divide N."""
+    import jax
+    import jax.numpy as jnp
+
+    from limbo_tpu.kernels import SquaredExpARD
+    from limbo_tpu.means import DataMean
+    from limbo_tpu.models import gp as gp_mod
+
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(0)
+    X = jax.random.uniform(key, (900, 3), dtype=dtype)
+    Y = jnp.sin(3.0 * jnp.sum(X, axis=1, keepdims=True))
+    gp = gp_mod.fit(SquaredExpARD.create(dim=3, dtype=dtype),
+                    DataMean.create(dim_out=1, dtype=dtype), X, Y,
+                    capacity=1280)                  # 1280 % 1024 != 0
+    cache = gp_mod.QueryCache.build(gp, with_Linv=True)
+    K = gp.kernel.gram_train_masked(gp.x, gp.n)
+    eye = jnp.eye(gp.capacity, dtype=dtype)
+    assert float(jnp.max(jnp.abs(cache.Kinv @ K - eye))) < 1e-2
+    assert float(jnp.max(jnp.abs(cache.Linv @ gp.L - eye))) < 1e-3
+
+
+def test_add_sample_cached_raw_mode_rejects_linv_cache():
+    """fast_update=True would install drift-prone pivots into a maintained
+    inverse Cholesky factor; the API refuses instead of corrupting it."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from limbo_tpu.kernels import SquaredExpARD
+    from limbo_tpu.means import DataMean
+    from limbo_tpu.models import gp as gp_mod
+
+    dtype = jnp.float32
+    X = jax.random.uniform(jax.random.PRNGKey(0), (16, 2), dtype=dtype)
+    Y = jnp.sum(X, axis=1, keepdims=True)
+    gp = gp_mod.fit(SquaredExpARD.create(dim=2, dtype=dtype),
+                    DataMean.create(dim_out=1, dtype=dtype), X, Y,
+                    capacity=32)
+    cache = gp_mod.QueryCache.build(gp, with_Linv=True)
+    with pytest.raises(ValueError, match="Linv"):
+        gp_mod.add_sample_cached(gp, cache, jnp.asarray([0.5, 0.5], dtype),
+                                 jnp.asarray([1.0], dtype), fast_update=True)
+
+
 def test_cached_kinv_refined_mode_drift():
     """fast_update="refined" (matvec-only + one iterative-refinement step)
     matches the solve path's drift envelope — the bench.py production mode."""
