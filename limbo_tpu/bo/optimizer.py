@@ -77,6 +77,9 @@ class BOState:
     last_acqui_value: Optional[float] = None
     last_prediction: Optional[np.ndarray] = None
     cache: Optional[gp_mod.QueryCache] = None
+    # init-design points not yet evaluated (ask/tell flow only; optimize()
+    # evaluates the whole design up front)
+    pending_init: Optional[list] = None
 
     # -- best-so-far (limbo best_observation/best_sample,
     #    boptimizer.hpp:174-188) --------------------------------------------
@@ -365,41 +368,116 @@ class BOptimizer:
             x_next, acq_val, mu_pred = self._propose_jit(
                 model, k_prop, jnp.asarray(state.total_iterations))
             y = self._eval_checked(f, np.asarray(x_next))
-            if self.model_type != "gp":
-                state.gp = self._add(state.gp, x_next,
-                                     jnp.asarray(y, dtype=self.dtype))
-                if (self.model_refit_period > 0 and
-                        (state.total_iterations + 1)
-                        % self.model_refit_period == 0):
-                    state.gp = self._refit_model(state.gp)
-            elif self.use_query_cache:
-                state.gp, state.cache = self._add_cached(
-                    state.gp, state.cache, x_next,
-                    jnp.asarray(y, dtype=self.dtype))
-                if (self.cache_refresh_period > 0 and
-                        (state.total_iterations + 1)
-                        % self.cache_refresh_period == 0):
-                    state.gp = gp_mod.recompute(state.gp)
-                    state.cache = self._build_cache(state.gp)
-            elif self.max_model_points is not None:
-                state.gp = self._add_sparse(state.gp, x_next,
-                                            jnp.asarray(y, dtype=self.dtype))
-            else:
-                state.gp = self._add(state.gp, x_next,
-                                     jnp.asarray(y, dtype=self.dtype))
-            state.last_sample = np.asarray(x_next)
-            state.last_observation = np.asarray(y)
             state.last_acqui_value = float(acq_val)
             state.last_prediction = np.asarray(mu_pred)
-            state.iteration += 1
-            state.total_iterations += 1
-            # periodic hyperparameter re-optimization (boptimizer.hpp:163-165)
-            if (self.hp_opt is not None and self.hp_period > 0
-                    and state.total_iterations % self.hp_period == 0):
-                state.gp = self._hp_jit(state.gp, k_hp)
+            self._ingest(state, x_next, y, k_hp)
+        return state
+
+    def _ingest(self, state: BOState, x_next, y, k_hp) -> None:
+        """Add one (x, y) observation and do all per-iteration bookkeeping:
+        model/cache update by mode, counters, hp-opt cadence, stats."""
+        if self.model_type != "gp":
+            state.gp = self._add(state.gp, x_next,
+                                 jnp.asarray(y, dtype=self.dtype))
+            if (self.model_refit_period > 0 and
+                    (state.total_iterations + 1)
+                    % self.model_refit_period == 0):
+                state.gp = self._refit_model(state.gp)
+        elif self.use_query_cache:
+            state.gp, state.cache = self._add_cached(
+                state.gp, state.cache, x_next,
+                jnp.asarray(y, dtype=self.dtype))
+            if (self.cache_refresh_period > 0 and
+                    (state.total_iterations + 1)
+                    % self.cache_refresh_period == 0):
+                state.gp = gp_mod.recompute(state.gp)
+                state.cache = self._build_cache(state.gp)
+        elif self.max_model_points is not None:
+            state.gp = self._add_sparse(state.gp, x_next,
+                                        jnp.asarray(y, dtype=self.dtype))
+        else:
+            state.gp = self._add(state.gp, x_next,
+                                 jnp.asarray(y, dtype=self.dtype))
+        state.last_sample = np.asarray(x_next)
+        state.last_observation = np.asarray(y)
+        state.iteration += 1
+        state.total_iterations += 1
+        # periodic hyperparameter re-optimization (boptimizer.hpp:163-165)
+        if (self.hp_opt is not None and self.hp_period > 0
+                and state.total_iterations % self.hp_period == 0):
+            if self._hp_jit is None:
+                self._hp_jit = self._build_hp()
+            state.gp = self._hp_jit(state.gp, k_hp)
+            if self.use_query_cache:
+                state.cache = self._build_cache(state.gp)
+        self._update_stats(state)
+
+    # -- ask/tell (hardware-in-the-loop flow; no reference equivalent) -------
+
+    def init_state(self, dim_in: int, dim_out: int = 1,
+                   aggregator: Callable = FirstElem,
+                   key: Optional[jax.Array] = None) -> BOState:
+        """Start an ask/tell optimization: build the empty model and queue
+        the init design for the first `self.init.count` ask() calls.
+
+        The ask/tell flow serves objectives that cannot be wrapped in a
+        callable (robot episodes, lab experiments, human raters) — the
+        primary audience of the reference, which forces them through the
+        eval functor (bo_base.hpp:232).  Evaluate ask()'s point however and
+        wherever you like, then feed it back with tell().
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        self._aggregator = aggregator
+        self._built_aggregator = aggregator
+        key, k_model = jax.random.split(key)
+        gp = self._make_model(dim_in, dim_out, self._capacity(), k_model)
+        state = BOState(gp=gp, key=key, aggregator=aggregator)
+        state.key, k_init = jax.random.split(state.key)
+        X0 = self.init(k_init, dim_in, dtype=self.dtype)
+        state.pending_init = [np.asarray(X0[i]) for i in range(X0.shape[0])]
+        return state
+
+    def ask(self, state: BOState) -> np.ndarray:
+        """Next point to evaluate: the unevaluated init design first, then
+        the acquisition maximizer over the current model."""
+        if state.pending_init:
+            return np.asarray(state.pending_init[0])
+        if self._propose_jit is None:
+            self._propose_jit = self._build_propose()
+        if self.use_query_cache and state.cache is None:
+            state.cache = self._build_cache(state.gp)
+        state.key, k_prop = jax.random.split(state.key)
+        model = (gp_mod.CachedGPView(state.gp, state.cache)
+                 if self.use_query_cache else state.gp)
+        x_next, acq_val, mu_pred = self._propose_jit(
+            model, k_prop, jnp.asarray(state.total_iterations))
+        state.last_acqui_value = float(acq_val)
+        state.last_prediction = np.asarray(mu_pred)
+        return np.asarray(x_next)
+
+    def tell(self, state: BOState, x, y) -> BOState:
+        """Feed the observation y = f(x) back (NaN/Inf raises
+        EvaluationError, bo_base.hpp:232-238).  Init-design points don't
+        count as iterations (matching optimize()); acquisition points run
+        the full per-iteration bookkeeping incl. hp-opt cadence and stats."""
+        y = np.atleast_1d(np.asarray(y, dtype=np.float64))
+        if not np.all(np.isfinite(y)):
+            raise EvaluationError(f"invalid observation {y} at {x}")
+        x = jnp.asarray(x, dtype=self.dtype)
+        if state.pending_init:
+            # match optimize()'s init phase: plain adds, no iteration count
+            state.pending_init.pop(0)
+            state.gp = self._add(state.gp, x,
+                                 jnp.asarray(y, dtype=self.dtype))
+            if not state.pending_init:
+                state.gp = self._refit_model(state.gp)
                 if self.use_query_cache:
                     state.cache = self._build_cache(state.gp)
-            self._update_stats(state)
+            return state
+        state.key, k_hp = jax.random.split(state.key)
+        if self.use_query_cache and state.cache is None:
+            state.cache = self._build_cache(state.gp)
+        self._ingest(state, x, y, k_hp)
         return state
 
     def _add(self, gp, x, y):

@@ -161,6 +161,58 @@ def test_bo_query_cache_fast_update_modes(mode):
     assert float(history["best"][-1]) > -1e-2
 
 
+def test_ask_tell_finds_optimum():
+    """The ask/tell (hardware-in-the-loop) flow drives the same machinery
+    as optimize(): init design first, then acquisition proposals."""
+    bo = make_bo(UCB(alpha=0.5), iters=30)
+    state = bo.init_state(dim_in=2, key=jax.random.PRNGKey(3))
+    n_init = len(state.pending_init)
+    assert n_init == 6
+    for _ in range(n_init):
+        x = bo.ask(state)
+        state = bo.tell(state, x, quad(x))
+    assert state.iteration == 0            # init points don't count
+    assert int(state.gp.n) == n_init
+    for _ in range(30):
+        x = bo.ask(state)
+        state = bo.tell(state, x, quad(x))
+    assert state.iteration == 30
+    np.testing.assert_allclose(state.best_sample, [OPT_X, OPT_X], atol=0.1)
+
+
+def test_ask_tell_with_query_cache_and_foreign_points():
+    """tell() accepts points the optimizer did not propose (the whole point
+    of ask/tell), and the cached-K^{-1} path stays consistent."""
+    bo = make_bo(UCB(alpha=0.5), iters=20, dtype=jnp.float32)
+    bo.use_query_cache = True
+    bo.cache_fast_update = "linv"
+    state = bo.init_state(dim_in=2, key=jax.random.PRNGKey(0))
+    while state.pending_init:
+        x = bo.ask(state)
+        state = bo.tell(state, x, quad(x))
+    rng = np.random.default_rng(0)
+    for i in range(20):
+        # alternate proposals with externally chosen points
+        x = bo.ask(state) if i % 2 == 0 else rng.uniform(size=2)
+        state = bo.tell(state, x, quad(x))
+    assert state.iteration == 20
+    # posterior through the maintained cache agrees with an exact rebuild
+    from limbo_tpu.models import gp as gp_mod
+    Xq = jnp.asarray(rng.uniform(size=(16, 2)), dtype=jnp.float32)
+    mu_c, _ = gp_mod.query_cached(state.gp, state.cache, Xq)
+    gp_x = gp_mod.recompute(state.gp)
+    mu_e, _ = gp_mod.query(gp_x, Xq)
+    np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_e), atol=5e-3)
+
+
+def test_ask_tell_rejects_nan():
+    bo = make_bo(UCB(alpha=0.5), iters=5)
+    state = bo.init_state(dim_in=2, key=jax.random.PRNGKey(0))
+    x = bo.ask(state)
+    with pytest.raises(EvaluationError):
+        bo.tell(state, x, np.array([np.nan]))
+
+
 def test_bo_cache_mode_switch_not_stale():
     """Regression: flipping cache_fast_update between optimize() calls was
     ignored (the cache-build/update jits were memoized for the first mode)."""
