@@ -49,9 +49,20 @@ DEFAULT_MODELS = [
 ]
 
 
+def _x64_enabled() -> bool:
+    return bool(jax.config.jax_enable_x64)
+
+
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a, tree)
+
+
 def _make_runner(fn: RegressionFunction, dim: int, n: int, spec: ModelSpec,
                  n_test: int = 2048, noise_std: float = 0.01,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, precise: Optional[bool] = None):
     bounds = fn.bounds_for_dim(dim)
     lo = jnp.asarray(bounds[:, 0], dtype=dtype)
     hi = jnp.asarray(bounds[:, 1], dtype=dtype)
@@ -62,7 +73,19 @@ def _make_runner(fn: RegressionFunction, dim: int, n: int, spec: ModelSpec,
 
     kern = SquaredExpARD.create(dim=dim, optimize_noise=spec.optimize_noise,
                                 dtype=dtype)
-    hp = KernelLFOpt(optimizer=Rprop(iterations=50, eps_stop=1e-2))
+    # precise mode (default whenever x64 is on — the suite runners enable
+    # it): f64-lifted LML objective + f64 final refit.  The reference runs
+    # f64 Eigen end to end (model/gp.hpp); measured on GramacyLee d1 n=600,
+    # the f32 LML gradient sign-flips stall Rprop at log_ell -2.08 instead
+    # of -2.60 (mse 0.082 vs 2.7e-4), so f32-only hp-opt is an accuracy
+    # regression vs the reference, not a speed win: at n <= 600 the f64
+    # segments are microseconds even under TPU software emulation.  The
+    # large-n BO path keeps its scale-aware f32 numerics — precision
+    # matters here because the regression protocol is scored on MSE.
+    precise = _x64_enabled() if precise is None else (precise
+                                                     and _x64_enabled())
+    hp = KernelLFOpt(optimizer=Rprop(iterations=50, eps_stop=1e-2),
+                     objective_dtype="float64" if precise else None)
 
     # the GP is fit on the unit-cube parameterization (per-dim linear input
     # scaling — the standard normalization; native scales like Piston's
@@ -81,12 +104,20 @@ def _make_runner(fn: RegressionFunction, dim: int, n: int, spec: ModelSpec,
     @jax.jit
     def fit_fn(U, Y, key):
         gp = gp_mod.fit(kern, NullMean(), U, Y, capacity=capacity)
-        return hp(gp, key)
+        gp = hp(gp, key)
+        if precise:
+            # final factorization at the learned hyperparameters in f64:
+            # the f32 solve error at cond(K) ~ sf^2/noise ~ 1e6 costs two
+            # orders of magnitude of MSE on fine-length-scale functions
+            gp = gp_mod.fit(_cast_floats(gp.kernel, jnp.float64), NullMean(),
+                            U.astype(jnp.float64), Y.astype(jnp.float64),
+                            capacity=capacity)
+        return gp
 
     @jax.jit
     def query_fn(gp, Uq, Yq):
-        mu, var = gp_mod.query(gp, Uq)
-        mse = jnp.mean((mu - Yq) ** 2)
+        mu, var = gp_mod.query(gp, Uq.astype(gp.x.dtype))
+        mse = jnp.mean((mu - Yq.astype(mu.dtype)) ** 2)
         return mse, mu, var
 
     return make_data, fit_fn, query_fn

@@ -78,6 +78,10 @@ def main(argv=None):
 
         run_suite(nb_reps=args.reps, n_iters=args.iters, out_dir=args.out)
     elif args.cmd == "bench-regression":
+        import jax
+
+        # precise mode (f64 LML objective + final refit — reference parity)
+        jax.config.update("jax_enable_x64", True)
         from limbo_tpu.benchmarks.regression_suite import run_regression_suite
 
         run_regression_suite(nb_reps=args.reps, out_dir=args.out)

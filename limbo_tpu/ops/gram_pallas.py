@@ -194,6 +194,11 @@ def use_pallas(X1: jax.Array, X2: jax.Array) -> bool:
     """Dispatch heuristic: TPU backend, f32/bf16, big enough to matter."""
     if not _HAS_PALLAS:
         return False
+    # x64 mode traces Python-int scalars (tile offsets, program ids) as i64,
+    # which Mosaic cannot legalize on real hardware — x64 is the parity/
+    # oracle mode, so take the jnp path there even for f32 operands.
+    if jax.config.jax_enable_x64:
+        return False
     try:
         backend = jax.default_backend()
     except Exception:  # pragma: no cover

@@ -13,6 +13,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import dataclasses
 import time
 
+import jax
+
+jax.config.update("jax_enable_x64", True)   # enables the suite's precise
+# mode: f64-lifted LML objective + f64 final refit (reference parity —
+# limbo runs f64 Eigen end to end; see regression_suite._make_runner)
 import jax.numpy as jnp
 
 from limbo_tpu.benchmarks.regression_functions import ALL_REGRESSION

@@ -59,3 +59,21 @@ def test_oracle_matches_jax_gp(rng):
     assert mse_jax < 5e-3 and mse_oracle < 5e-3
     # within an order of magnitude of each other (both near the noise floor)
     assert mse_jax < max(10 * mse_oracle, 1e-3)
+
+
+def test_sklearn_external_baseline(rng):
+    """The measured third-party comparison point (≙ the reference's GPy
+    runs, src/benchmarks/regression/gpy.py): sklearn GPR on the same data
+    reaches the same accuracy class as the suite's GP."""
+    import pytest
+
+    pytest.importorskip("sklearn")
+    from limbo_tpu.benchmarks import sklearn_baseline
+
+    X = rng.uniform(size=(80, 2))
+    f = lambda Z: np.sin(3 * Z[:, :1]) * np.cos(2 * Z[:, 1:2])
+    Y = f(X) + 0.01 * rng.standard_normal((80, 1))
+    Xq = rng.uniform(size=(400, 2))
+    mse, t_learn, t_query = sklearn_baseline.fit_and_eval(X, Y, Xq, f(Xq))
+    assert mse < 1e-2
+    assert t_learn > 0 and t_query > 0
