@@ -129,6 +129,7 @@ class BOptimizer:
                  cache_fast_update: bool = False,
                  cache_refresh_period: int = 64,
                  cache_query_dtype=None,
+                 cache_defer_m: int = 32,
                  max_model_points: Optional[int] = None,
                  model_type: str = "gp",
                  model_options: Optional[dict] = None,
@@ -151,13 +152,16 @@ class BOptimizer:
         # and query through it (no triangular solves on the hot loop)
         self.use_query_cache = use_query_cache
         # cached-add mode: False = solve-based u (most accurate, 2 solves),
-        # "linv" = matvec-only via a maintained inverse Cholesky factor
-        # (solve-grade accuracy, lowest HBM traffic — the fastest accurate
-        # option), "refined" = matvec-only with one iterative-refinement
-        # step against a maintained K mirror, True = raw matmul u (fastest
-        # per-pass; compounding drift — pair with a small refresh period).
+        # "deferred" = linv pivots with the N x N Kinv/mirror rewrite
+        # amortized to one GEMM per cache_defer_m appends (fastest; exact
+        # same math as linv; constant-type means only), "linv" = matvec-only
+        # via a maintained inverse Cholesky factor (solve-grade accuracy),
+        # "refined" = matvec-only with one iterative-refinement step against
+        # a maintained K mirror, True = raw matmul u (fastest per-pass;
+        # compounding drift — pair with a small refresh period).
         # See gp.add_sample_cached + docs/BENCHMARKS.md.
         self.cache_fast_update = cache_fast_update
+        self.cache_defer_m = cache_defer_m
         # rebuild K^{-1} exactly every N cached adds (bounds f32 drift of
         # the O(n^2) block updates over long horizons)
         self.cache_refresh_period = cache_refresh_period
@@ -491,14 +495,18 @@ class BOptimizer:
         # keyed on the mode: flipping cache_fast_update between optimize()
         # calls must not reuse a jit traced for the old mode (stale
         # with_K/with_Linv would silently run the wrong update path)
-        key = (self.cache_fast_update, self.cache_query_dtype)
+        key = (self.cache_fast_update, self.cache_query_dtype,
+               self.cache_defer_m)
         if getattr(self, "_cache_jit_key", None) != key:
             with_K = self.cache_fast_update == "refined"
-            with_Linv = self.cache_fast_update == "linv"
+            with_Linv = self.cache_fast_update in ("linv", "deferred")
+            defer_m = (self.cache_defer_m
+                       if self.cache_fast_update == "deferred" else 0)
             self._cache_jit = jax.jit(
                 partial(gp_mod.QueryCache.build, with_K=with_K,
                         with_Linv=with_Linv,
-                        qdtype=self.cache_query_dtype))
+                        qdtype=self.cache_query_dtype,
+                        defer_m=defer_m))
             self._cache_jit_key = key
         return self._cache_jit(gp)
 
@@ -643,10 +651,13 @@ class BOptimizer:
             gp, _ = jax.lax.scan(seed, gp0, (X0, Y0.astype(dtype)))
             use_cache = self.use_query_cache
             with_K = self.cache_fast_update == "refined"
-            with_Linv = self.cache_fast_update == "linv"
+            with_Linv = self.cache_fast_update in ("linv", "deferred")
+            defer_m = (self.cache_defer_m
+                       if self.cache_fast_update == "deferred" else 0)
             cache = (gp_mod.QueryCache.build(gp, with_K=with_K,
                                              with_Linv=with_Linv,
-                                             qdtype=self.cache_query_dtype)
+                                             qdtype=self.cache_query_dtype,
+                                             defer_m=defer_m)
                      if use_cache
                      else gp_mod.QueryCache(Kinv=jnp.zeros((1, 1), dtype)))
             best0 = jnp.max(jnp.where(
@@ -682,7 +693,8 @@ class BOptimizer:
                             (it + 1) % hp_period == 0,
                             lambda g: gp_mod.QueryCache.build(
                                 g, with_K=with_K, with_Linv=with_Linv,
-                                qdtype=self.cache_query_dtype),
+                                qdtype=self.cache_query_dtype,
+                                defer_m=defer_m),
                             lambda g: cache, gp)
                 agg_y = aggregator(y)
                 best = jnp.maximum(best, agg_y)

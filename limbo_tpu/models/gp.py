@@ -329,11 +329,31 @@ class QueryCache:
     # there is no compounding low-precision drift — only a bounded
     # per-query rounding of the variance (see query_cached).
     Kinv_q: Optional[jax.Array] = None
+    # --- deferred-update fields (fast_update="deferred") ------------------
+    # The bordered-inverse append is a rank-1 correction Kinv' = Kinv
+    # + vv^T/s - e_i e_i^T whose pivot comes from the maintained Linv, never
+    # from Kinv itself — so materializing it into the N x N buffer (and
+    # re-casting the bf16 mirror) every append is pure HBM traffic with no
+    # numerical role.  Deferred mode accumulates the scaled pivot columns
+    # p_j = v_j/sqrt(s_j) in P and applies them as a rank-m correction at
+    # query time, flushing into Kinv/Kinv_q with ONE (N,m)@(m,N) GEMM every
+    # m appends.  Exactly the same math as "linv", amortized.
+    P: Optional[jax.Array] = None          # (N, m) pending scaled pivots
+    base_n: Optional[jax.Array] = None     # n at the last flush (int32)
+    # alpha support: with Kinv stale we can no longer form
+    # alpha = Kinv @ centered by one matvec; instead maintain
+    #   ay     = Kinv_true @ (y * mask)        (N, p)
+    #   u_ones = Kinv_true @ mask              (N,)
+    # by the O(N) bordered recurrences (a' = a + v (v.c')/s) and recover
+    # alpha = ay - u_ones mu_bar^T for constant-type means (Null/Constant/
+    # Data — limbo's defaults; FunctionARD needs the dense path).
+    ay: Optional[jax.Array] = None
+    u_ones: Optional[jax.Array] = None
 
     @classmethod
     def build(cls, gp: GP, block: int = 1024,
               with_K: bool = False, with_Linv: bool = False,
-              qdtype=None) -> "QueryCache":
+              qdtype=None, defer_m: int = 0) -> "QueryCache":
         """Blocked inversion: Linv column-panels via scanned triangular
         solves, then Kinv = Linv^T Linv (one matmul).
 
@@ -348,12 +368,26 @@ class QueryCache:
         """
         N = gp.capacity
         K = gp.kernel.gram_train_masked(gp.x, gp.n) if with_K else None
+
+        def _finish(Kinv, Linv):
+            defer = {}
+            if defer_m > 0:
+                mask = gp.mask
+                rhs = jnp.concatenate([gp.y * mask[:, None],
+                                       mask[:, None]], axis=1)
+                a = jnp.dot(Kinv, rhs, preferred_element_type=gp.x.dtype)
+                defer = dict(P=jnp.zeros((N, defer_m), dtype=gp.x.dtype),
+                             base_n=gp.n.astype(jnp.int32),
+                             ay=a[:, :-1], u_ones=a[:, -1])
+            return cls(Kinv=Kinv, K=K, Linv=Linv if with_Linv else None,
+                       Kinv_q=Kinv.astype(qdtype) if qdtype else None,
+                       **defer)
+
         if use_blocked_tri(N):
             Linv = tri_inv_dispatch(gp.L)
             Kinv = jnp.dot(Linv.T, Linv, preferred_element_type=gp.x.dtype,
                            precision=jax.lax.Precision.HIGHEST)
-            return cls(Kinv=Kinv, K=K, Linv=Linv if with_Linv else None,
-                       Kinv_q=Kinv.astype(qdtype) if qdtype else None)
+            return _finish(Kinv, Linv)
         # the panel width must DIVIDE N: dynamic_slice clamps out-of-range
         # starts, so a ragged last panel would silently duplicate earlier
         # rows into the tail of Linv^T (garbage inverse).  Largest divisor
@@ -373,8 +407,7 @@ class QueryCache:
         # so stacked panels give Linv^T with shape (N, N); Kinv = Linv^T @ Linv
         LinvT = Linv                                             # (N, N) = Linv^T
         Kinv = jnp.dot(LinvT, LinvT.T, preferred_element_type=gp.x.dtype)
-        return cls(Kinv=Kinv, K=K, Linv=LinvT.T if with_Linv else None,
-                   Kinv_q=Kinv.astype(qdtype) if qdtype else None)
+        return _finish(Kinv, LinvT.T)
 
 
 @jax.custom_vjp
@@ -411,6 +444,44 @@ def _sym_quad_diag_bwd(res, g):
 _sym_quad_diag.defvjp(_sym_quad_diag_fwd, _sym_quad_diag_bwd)
 
 
+@jax.custom_vjp
+def _sym_quad_diag_corr(ks: jax.Array, Kinv: jax.Array, P: jax.Array,
+                        pend: jax.Array) -> jax.Array:
+    """diag(ks M ks^T) for M = Kinv + P P^T - diag(pend), all symmetric.
+
+    The deferred-update query: Kinv is the stale (last-flush) inverse, P the
+    (N, m) pending scaled pivots, pend the 0/1 vector marking pending
+    columns (their stale identity diagonal must be cancelled).  Same
+    symmetric-VJP trick as _sym_quad_diag: the gradient reuses the forward
+    product t = ks M, so the ascent still reads the N x N buffer once per
+    step; the correction adds only (q,N)@(N,m) work (m ~ 32, negligible).
+    """
+    t = _corr_t(ks, Kinv, P, pend)
+    return jnp.sum(t * ks, axis=1)
+
+
+def _corr_t(ks, Kinv, P, pend):
+    t = jnp.dot(ks.astype(Kinv.dtype), Kinv,
+                preferred_element_type=ks.dtype)                  # (q, N)
+    t = t + jnp.dot(jnp.dot(ks, P, preferred_element_type=ks.dtype), P.T,
+                    preferred_element_type=ks.dtype)
+    return t - ks * pend[None, :].astype(ks.dtype)
+
+
+def _sym_quad_diag_corr_fwd(ks, Kinv, P, pend):
+    t = _corr_t(ks, Kinv, P, pend)
+    return jnp.sum(t * ks, axis=1), (t, Kinv, P, pend)
+
+
+def _sym_quad_diag_corr_bwd(res, g):
+    t, Kinv, P, pend = res
+    return ((2.0 * g)[:, None] * t, jnp.zeros_like(Kinv),
+            jnp.zeros_like(P), jnp.zeros_like(pend))
+
+
+_sym_quad_diag_corr.defvjp(_sym_quad_diag_corr_fwd, _sym_quad_diag_corr_bwd)
+
+
 def query_cached(gp: GP, cache: QueryCache,
                  Xq: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Matmul-only posterior query using a precomputed K^{-1}.
@@ -430,7 +501,13 @@ def query_cached(gp: GP, cache: QueryCache,
     ks = gp.kernel.gram(Xq, gp.x) * mask[None, :]                    # (q, N)
     mu = jnp.dot(ks, gp.alpha, preferred_element_type=ks.dtype) + gp.mean(Xq)
     Kq = cache.Kinv_q if cache.Kinv_q is not None else cache.Kinv
-    var = gp.kernel.k_diag(Xq) - _sym_quad_diag(ks, Kq)
+    if cache.P is not None:
+        idx = jnp.arange(gp.capacity)
+        pend = ((idx >= cache.base_n) & (idx < gp.n)).astype(ks.dtype)
+        quad = _sym_quad_diag_corr(ks, Kq, cache.P, pend)
+    else:
+        quad = _sym_quad_diag(ks, Kq)
+    var = gp.kernel.k_diag(Xq) - quad
     return mu, jnp.maximum(var, 0.0)
 
 
@@ -528,6 +605,13 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
              + gp.kernel.train_diag_add(x_new[None, :])[0])
     N = gp.capacity
     e_i = (jnp.arange(N) == i).astype(dtype)
+    if fast_update == "deferred":
+        return _add_sample_deferred(gp, cache, x_new, y_new, k_vec, kappa, e_i)
+    if cache.P is not None:
+        raise ValueError(
+            "this cache was built with defer_m > 0; immediate-update modes "
+            "would leave its pending-pivot state inconsistent — use "
+            "fast_update='deferred' or rebuild the cache without defer_m")
     Linv_new = cache.Linv
     if fast_update == "linv":
         if cache.Linv is None:
@@ -613,6 +697,92 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
               if cache.Kinv_q is not None else None)
     return (gp2.replace(mean=mean, alpha=alpha),
             QueryCache(Kinv=Kinv, K=K_new, Linv=Linv_new, Kinv_q=Kinv_q))
+
+
+def _add_sample_deferred(gp: GP, cache: QueryCache, x_new, y_new,
+                         k_vec, kappa, e_i) -> Tuple[GP, QueryCache]:
+    """The "deferred" cached append: O(N) per step beyond the two pivot
+    matvecs; the N x N Kinv/mirror rewrite amortizes to one GEMM per m
+    appends.
+
+    Identical math to fast_update="linv" (the pivot u = Linv^T (Linv k)
+    comes from the maintained inverse Cholesky factor either way); the
+    bordered-inverse correction vv^T/s - e_i e_i^T is just not materialized
+    into the N x N buffers each step.  alpha = Kinv (y - mu_bar) is carried
+    by the exact bordered recurrence a' = a + v (v . c')/s applied to
+    ay = Kinv (y masked) and u_ones = Kinv mask — valid because Kinv's
+    padded rows are identity and the appended entry contributes
+    y_c e_i - e_i c'_i = 0 (see QueryCache field docs).  Constant-type
+    means only (Null/Constant/Data): mu_bar is a per-output scalar there;
+    FunctionARD's x-dependent mean needs the dense alpha matvec.
+    """
+    if cache.Linv is None or cache.P is None:
+        raise ValueError(
+            "deferred updates need QueryCache.build(with_Linv=True, "
+            "defer_m > 0)")
+    from limbo_tpu.means.means import ConstantMean, DataMean, NullMean
+    if not isinstance(gp.mean, (NullMean, ConstantMean, DataMean)):
+        raise ValueError(
+            "fast_update='deferred' supports constant-type means only "
+            "(NullMean/ConstantMean/DataMean); FunctionARD needs the dense "
+            "alpha path — use fast_update='linv'")
+    from limbo_tpu.ops.trimv import trimv
+
+    i = gp.n
+    mask = gp.mask
+    dtype = gp.x.dtype
+    N = gp.capacity
+    l = trimv(cache.Linv, k_vec) * mask
+    u = trimv(cache.Linv, l, transpose=True) * mask
+    s = jnp.maximum(kappa - jnp.dot(k_vec, u),
+                    effective_jitter(dtype) * kappa)
+    d = jnp.sqrt(s)
+    v = u - e_i
+    L = gp.L.at[i].set(l * mask + d * e_i)
+    Linv = cache.Linv.at[i].set(-(u / d) * mask + (1.0 / d) * e_i)
+
+    x = gp.x.at[i].set(x_new)
+    y = gp.y.at[i].set(y_new)
+    gp2 = gp.replace(x=x, y=y, n=i + 1, L=L)
+    mask2 = gp2.mask
+    ym = y * mask2[:, None]
+    # exact bordered recurrences (O(N p)); v is masked so padded rows stay 0
+    ay = cache.ay + v[:, None] * (jnp.dot(v, ym) / s)[None, :]
+    u_ones = cache.u_ones + v * (jnp.dot(v, mask2) / s)
+    m = cache.P.shape[1]
+    count = i - cache.base_n              # pivots pending BEFORE this append
+    P = jax.lax.dynamic_update_slice(cache.P, (v / d)[:, None],
+                                     (jnp.asarray(0, count.dtype), count))
+    idx = jnp.arange(N)
+
+    def flush(_):
+        # one (N,m)@(m,N) GEMM + fused diagonal cancel of the m pending
+        # identity slots; refresh the bf16 mirror and re-derive ay/u_ones
+        # from the fresh buffer (two matvecs fused over one Kinv read) so
+        # recurrence rounding never outlives a flush window.
+        pend = ((idx >= cache.base_n) & (idx <= i)).astype(dtype)
+        Kinv = (cache.Kinv
+                + jnp.dot(P, P.T, preferred_element_type=dtype)
+                - jnp.where(idx[:, None] == idx[None, :], pend[None, :], 0.0))
+        rhs = jnp.concatenate([ym, mask2[:, None]], axis=1)
+        a = jnp.dot(Kinv, rhs, preferred_element_type=dtype)
+        mirror = (Kinv.astype(cache.Kinv_q.dtype)
+                  if cache.Kinv_q is not None else None)
+        return (Kinv, mirror, jnp.zeros_like(P),
+                (i + 1).astype(cache.base_n.dtype), a[:, :-1], a[:, -1])
+
+    def keep(_):
+        return (cache.Kinv, cache.Kinv_q, P, cache.base_n, ay, u_ones)
+
+    Kinv, Kinv_q, P, base_n, ay, u_ones = jax.lax.cond(
+        count + 1 >= m, flush, keep, None)
+
+    mean = prepare_mean(gp2.mean, y, mask2)
+    mu_bar = mean(x_new[None, :])[0]      # constant-type means: (p,)
+    alpha = ay - u_ones[:, None] * mu_bar[None, :].astype(dtype)
+    return (gp2.replace(mean=mean, alpha=alpha),
+            QueryCache(Kinv=Kinv, K=None, Linv=Linv, Kinv_q=Kinv_q,
+                       P=P, base_n=base_n, ay=ay, u_ones=u_ones))
 
 
 # ---------------------------------------------------------------------------

@@ -141,13 +141,15 @@ def test_bo_query_cache_bf16_mirror_path():
     assert float(history["best"][-1]) > -1e-2
 
 
-@pytest.mark.parametrize("mode", ["refined", "linv", True])
+@pytest.mark.parametrize("mode", ["refined", "linv", "deferred", True])
 def test_bo_query_cache_fast_update_modes(mode):
     """Every cached-add mode drives the BO loop to the optimum through both
-    the host loop and the jitted scan loop (gp.add_sample_cached modes)."""
+    the host loop and the jitted scan loop (gp.add_sample_cached modes).
+    "deferred" also exercises a flush boundary (cache_defer_m=8 < iters)."""
     bo = make_bo(UCB(alpha=0.5), iters=30)
     bo.use_query_cache = True
     bo.cache_fast_update = mode
+    bo.cache_defer_m = 8
     state = bo.optimize(quad, dim_in=2, key=jax.random.PRNGKey(3))
     np.testing.assert_allclose(state.best_sample, [OPT_X, OPT_X], atol=0.1)
 
@@ -157,6 +159,7 @@ def test_bo_query_cache_fast_update_modes(mode):
     bo2 = make_bo(UCB(alpha=0.5), iters=25)
     bo2.use_query_cache = True
     bo2.cache_fast_update = mode
+    bo2.cache_defer_m = 8
     state, history = bo2.optimize_jit(f, dim_in=2, key=jax.random.PRNGKey(9))
     assert float(history["best"][-1]) > -1e-2
 

@@ -691,3 +691,126 @@ def test_scale_aware_numerics_large_signal_variance():
                        X, Y, capacity=256)
     assert bool(jnp.all(jnp.isfinite(g_bad.L)))
     assert bool(jnp.all(jnp.isfinite(g_bad.alpha)))
+
+
+def test_cached_deferred_matches_linv():
+    """fast_update="deferred" is the SAME math as "linv" with the N x N
+    Kinv/mirror rewrite amortized: queries and alpha must agree step by
+    step, including across flush boundaries (m=4 over 13 appends)."""
+    import functools
+
+    dtype = jnp.float32
+    d = 3
+    key = jax.random.PRNGKey(0)
+    kx, ky = jax.random.split(key)
+    X = jax.random.uniform(kx, (24, d), dtype=dtype)
+    Y = jnp.sin(3.0 * jnp.sum(X, axis=1, keepdims=True)) \
+        + 0.1 * jax.random.normal(ky, (24, 1), dtype=dtype)
+    gp0 = gp_mod.fit(SquaredExpARD.create(dim=d, dtype=dtype),
+                     DataMean.create(dim_out=1, dtype=dtype), X, Y,
+                     capacity=64)
+    c_linv = gp_mod.QueryCache.build(gp0, with_Linv=True)
+    c_def = gp_mod.QueryCache.build(gp0, with_Linv=True, defer_m=4)
+    add_l = jax.jit(functools.partial(gp_mod.add_sample_cached,
+                                      fast_update="linv"))
+    add_d = jax.jit(functools.partial(gp_mod.add_sample_cached,
+                                      fast_update="deferred"))
+    gp_l, gp_d = gp0, gp0
+    Xq = jax.random.uniform(jax.random.PRNGKey(2), (32, d), dtype=dtype)
+    k = jax.random.PRNGKey(1)
+    for step in range(13):
+        k, kx2 = jax.random.split(k)
+        x_new = jax.random.uniform(kx2, (d,), dtype=dtype)
+        y_new = jnp.sin(3.0 * jnp.sum(x_new))[None]
+        gp_l, c_linv = add_l(gp_l, c_linv, x_new, y_new)
+        gp_d, c_def = add_d(gp_d, c_def, x_new, y_new)
+        mu_l, var_l = gp_mod.query_cached(gp_l, c_linv, Xq)
+        mu_d, var_d = gp_mod.query_cached(gp_d, c_def, Xq)
+        # f32 summation-order differences only (the flush re-derives from
+        # one GEMM where linv materialized 4 sequential rank-1 passes)
+        assert float(jnp.max(jnp.abs(mu_l - mu_d))) < 5e-4, step
+        assert float(jnp.max(jnp.abs(var_l - var_d))) < 5e-4, step
+        assert float(jnp.max(jnp.abs(gp_l.alpha - gp_d.alpha))) < 2e-3, step
+    # maintained Linv identical in both modes
+    assert float(jnp.max(jnp.abs(c_linv.Linv - c_def.Linv))) == 0.0
+    # pending count bookkeeping: 13 appends with m=4 -> 1 pending
+    assert int(gp_d.n - c_def.base_n) == 1
+
+
+def test_cached_deferred_drift_and_gradient():
+    """100-append f32 drift of the deferred mode matches the linv envelope,
+    and gradient ascent through the corrected quadratic form (custom VJP)
+    agrees with autodiff through the exact materialized cache."""
+    import functools
+
+    dtype = jnp.float32
+    d = 3
+    key = jax.random.PRNGKey(0)
+    kx, ky = jax.random.split(key)
+    X = jax.random.uniform(kx, (64, d), dtype=dtype)
+    Y = jnp.sin(3.0 * jnp.sum(X, axis=1, keepdims=True)) \
+        + 0.1 * jax.random.normal(ky, (64, 1), dtype=dtype)
+    gp = gp_mod.fit(SquaredExpARD.create(dim=d, dtype=dtype),
+                    DataMean.create(dim_out=1, dtype=dtype), X, Y,
+                    capacity=256)
+    cache = gp_mod.QueryCache.build(gp, with_Linv=True, defer_m=8)
+    add = jax.jit(functools.partial(gp_mod.add_sample_cached,
+                                    fast_update="deferred"))
+    k = jax.random.PRNGKey(1)
+    for _ in range(100):
+        k, kx2 = jax.random.split(k)
+        x_new = jax.random.uniform(kx2, (d,), dtype=dtype)
+        gp, cache = add(gp, cache, x_new, jnp.sin(3.0 * jnp.sum(x_new))[None])
+
+    Xq = jax.random.uniform(jax.random.PRNGKey(2), (128, d), dtype=dtype)
+    mu_c, var_c = gp_mod.query_cached(gp, cache, Xq)
+    gp_x = gp_mod.recompute(gp)
+    cache_x = gp_mod.QueryCache.build(gp_x)
+    mu_e, var_e = gp_mod.query_cached(gp_x, cache_x, Xq)
+    assert float(jnp.max(jnp.abs(mu_c - mu_e))) < 2e-3
+    assert float(jnp.max(jnp.abs(var_c - var_e))) < 5e-3
+
+    # gradient through the pending-correction query (custom VJP) vs
+    # autodiff through the exact rebuilt cache
+    def v_def(x):
+        return gp_mod.query_cached(gp, cache, x[None, :])[1][0]
+
+    def v_exact(x):
+        return gp_mod.query_cached(gp_x, cache_x, x[None, :])[1][0]
+
+    x0 = Xq[0]
+    g_def = jax.grad(v_def)(x0)
+    g_exact = jax.grad(v_exact)(x0)
+    assert float(jnp.max(jnp.abs(g_def - g_exact))) < 5e-3
+
+
+def test_cached_deferred_guards():
+    """Mode/cache consistency is enforced at trace time: deferred needs the
+    Linv+P cache; immediate modes refuse a deferred cache; FunctionARD's
+    x-dependent mean is rejected (alpha recurrence needs a constant-type
+    mean)."""
+    from limbo_tpu.means import FunctionARD
+
+    dtype = jnp.float32
+    X = jnp.linspace(0.0, 1.0, 8, dtype=dtype)[:, None]
+    Y = jnp.sin(3.0 * X)
+    kern = SquaredExpARD.create(dim=1, dtype=dtype)
+    gp = gp_mod.fit(kern, DataMean.create(dim_out=1, dtype=dtype), X, Y,
+                    capacity=16)
+    x_new = jnp.asarray([0.5], dtype=dtype)
+    y_new = jnp.asarray([0.0], dtype=dtype)
+
+    plain = gp_mod.QueryCache.build(gp, with_Linv=True)      # no defer_m
+    with pytest.raises(ValueError):
+        gp_mod.add_sample_cached(gp, plain, x_new, y_new,
+                                 fast_update="deferred")
+    deferred = gp_mod.QueryCache.build(gp, with_Linv=True, defer_m=4)
+    with pytest.raises(ValueError):
+        gp_mod.add_sample_cached(gp, deferred, x_new, y_new,
+                                 fast_update="linv")
+    fard = FunctionARD.create(NullMean(), dim_out=1, dtype=dtype)
+    gp_f = gp_mod.fit(kern, fard, X, Y, capacity=16)
+    cache_f = gp_mod.QueryCache.build(gp_f, with_Linv=True, defer_m=4)
+    with pytest.raises(ValueError):
+        gp_mod.add_sample_cached(gp_f, cache_f, x_new, y_new,
+                                 fast_update="deferred")
