@@ -86,7 +86,7 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
               else None)
     t0 = time.perf_counter()
     cache = jax.jit(partial(gp_mod.QueryCache.build, with_Linv=True,
-                            qdtype=qdtype))(gp)
+                            qdtype=qdtype, defer_m=32))(gp)
     float(cache.Kinv[0, 0])
     _log(f"cache built in {time.perf_counter()-t0:.0f}s"
          + (" (bf16 query mirror)" if qdtype else ""))
@@ -105,11 +105,12 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
         start = jnp.full((gp.dim_in,), 0.5, dtype=gp.x.dtype)
         res = opt(acq_fn, start, key, True)
         y = jnp.sin(3.0 * jnp.sum(res.x))[None]
-        # "linv" cached update: pivot from the maintained inverse Cholesky
-        # factor — solve-grade accuracy at the lowest HBM traffic of any
-        # mode (5.71 ms/iter vs 7.72 refined at n=10k; docs/BENCHMARKS.md)
+        # "deferred" cached update: linv-grade pivots from the maintained
+        # inverse Cholesky factor, with the N x N K^{-1}/mirror rewrite
+        # amortized into one GEMM per 32 appends — 3.2 ms/iter update-only
+        # vs 5.1 linv / 7.7 refined at n=10k (docs/BENCHMARKS.md)
         return gp_mod.add_sample_cached(gp, cache, res.x, y,
-                                        fast_update="linv")
+                                        fast_update="deferred")
 
     t0 = time.perf_counter()
     gp, cache = bo_iter(gp, cache, key)

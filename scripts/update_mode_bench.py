@@ -1,6 +1,7 @@
 """A/B the cached-K^{-1} update modes at headline scale (n=10k).
 
-Measures update-only ms/iter for fast_update in {"refined", "linv", True}
+Measures update-only ms/iter for fast_update in {"refined", "linv",
+"deferred", True}
 with the same chained-scan methodology as scripts/iter_breakdown_bench.py.
 Expected ranking from HBM traffic (n=10k f32, 400 MB per N x N pass):
   * refined: Kinv matvec + K matvec + Kinv matvec + L^T matvec
@@ -8,6 +9,8 @@ Expected ranking from HBM traffic (n=10k f32, 400 MB per N x N pass):
   * linv:    Linv matvec + Linv^T matvec + Kinv rewrite + mirror ~= 1.8 GB
   * True:    Kinv matvec + L^T matvec + Kinv rewrite + mirror    ~= 1.8 GB
              (but compounding drift; linv holds solve accuracy)
+  * deferred: Linv matvec + Linv^T matvec + O(N) writes, plus one
+             (N,32)@(32,N) flush GEMM every 32 appends               ~= 0.8 GB
 
 Usage: python scripts/update_mode_bench.py [n] [iters]
 """
@@ -52,8 +55,9 @@ def setup(n, d, iters, mode):
     t0 = time.perf_counter()
     cache = jax.jit(partial(gp_mod.QueryCache.build,
                             with_K=(mode == "refined"),
-                            with_Linv=(mode == "linv"),
-                            qdtype=jnp.bfloat16))(gp)
+                            with_Linv=(mode in ("linv", "deferred")),
+                            qdtype=jnp.bfloat16,
+                            defer_m=(32 if mode == "deferred" else 0)))(gp)
     float(cache.Kinv[0, 0])
     log(f"cache {time.perf_counter()-t0:.0f}s")
     return gp, cache
@@ -88,7 +92,7 @@ def bench_mode(n, d, iters, mode):
 def main(n, iters):
     d = 8
     results = {}
-    for mode in ("refined", "linv", True):
+    for mode in ("refined", "linv", "deferred", True):
         results[repr(mode)] = bench_mode(n, d, iters, mode)
     base = results["'refined'"]
     for m, t in results.items():
