@@ -21,6 +21,11 @@ def query_any(model, Xq: jax.Array) -> Tuple[jax.Array, jax.Array]:
         return gp_mod.query(model, Xq)
     if isinstance(model, gp_mod.CachedGPView):
         return gp_mod.query_cached(model.gp, model.cache, Xq)
+    # avoid importing the parallel layer unless a sharded view shows up
+    if type(model).__name__ == "ShardColsGPView":
+        from limbo_tpu.parallel.sharded_acq import sharded_query_cached
+
+        return sharded_query_cached(model, Xq)
     if isinstance(model, sparse_gp.SparsifiedGP):
         return gp_mod.query(model.gp, Xq)
     if isinstance(model, spgp.SPGP):

@@ -10,9 +10,17 @@ from limbo_tpu.parallel.sharded_chol import (
     sharded_fit,
     sharded_query,
 )
+from limbo_tpu.parallel.sharded_acq import (
+    ShardColsGPView,
+    make_sharded_bo_iter,
+    shard_cache_cols,
+    sharded_query_cached,
+)
 
 __all__ = [
     "make_mesh", "make_mesh_2d", "replicated", "shard_batch",
     "sharded_restart_opt", "row_sharded_posterior_mean", "multihost",
     "ShardedGP", "sharded_cholesky", "sharded_fit", "sharded_query",
+    "ShardColsGPView", "make_sharded_bo_iter", "shard_cache_cols",
+    "sharded_query_cached",
 ]

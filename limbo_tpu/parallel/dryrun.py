@@ -100,6 +100,29 @@ def run_dryrun(n_devices: int) -> None:
     assert bool(jnp.all(jnp.isfinite(mu_s)))
     assert bool(jnp.all(var_s >= 0.0))
 
+    # ---- column-sharded cached acquisition + deferred append: the large-n
+    # BO iteration with K^{-1} panels sharded over the mesh
+    # (parallel/sharded_acq.py) ----
+    from limbo_tpu.opt.compose import RandomRestarts
+    from limbo_tpu.parallel.sharded_acq import (make_sharded_bo_iter,
+                                                shard_cache_cols)
+
+    mesh_c = make_mesh(n_devices, axis_name="cols")
+    gp_c = gp_mod.fit(kernel, DataMean.create(dim_out=1, dtype=jnp.float32),
+                      X, Y, capacity=8 * n_devices)
+    cache_c = shard_cache_cols(
+        mesh_c,
+        jax.jit(lambda g: gp_mod.QueryCache.build(
+            g, with_Linv=True, qdtype=jnp.bfloat16, defer_m=4))(gp_c))
+    iter_c = jax.jit(make_sharded_bo_iter(
+        mesh_c, lambda x: jnp.sin(jnp.sum(x))[None], acqui,
+        RandomRestarts(sub=Rprop(iterations=5), repeats=4,
+                       sweep_samples=16)))
+    gp_c, cache_c, x_c, y_c = iter_c(gp_c, cache_c, kstep, jnp.asarray(0))
+    jax.block_until_ready((gp_c.L, cache_c.Kinv, x_c))
+    assert int(gp_c.n) == n + 1
+    assert bool(jnp.all(jnp.isfinite(x_c)))
+
     # ---- 2-D mesh (restarts x rows): candidate fan-out on one axis with
     # row-sharded posterior means + psum on the other, in ONE program ----
     if n_devices >= 4 and n_devices % 2 == 0:
