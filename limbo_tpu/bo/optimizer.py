@@ -130,6 +130,7 @@ class BOptimizer:
                  cache_refresh_period: int = 64,
                  cache_query_dtype=None,
                  cache_defer_m: int = 32,
+                 cache_lite: bool = False,
                  max_model_points: Optional[int] = None,
                  model_type: str = "gp",
                  model_options: Optional[dict] = None,
@@ -162,6 +163,15 @@ class BOptimizer:
         # See gp.add_sample_cached + docs/BENCHMARKS.md.
         self.cache_fast_update = cache_fast_update
         self.cache_defer_m = cache_defer_m
+        # lite cache: drop the f32 K^{-1} master; the (bf16) query mirror is
+        # the only N x N buffer and flushes update it in place — a third
+        # less HBM per capacity (the n>24k single-chip enabler).  Requires
+        # the deferred update mode.
+        if cache_lite and cache_fast_update != "deferred":
+            raise ValueError("cache_lite requires cache_fast_update="
+                             "'deferred' (lite flushes apply the deferred "
+                             "pivot corrections to the mirror)")
+        self.cache_lite = cache_lite
         # rebuild K^{-1} exactly every N cached adds (bounds f32 drift of
         # the O(n^2) block updates over long horizons)
         self.cache_refresh_period = cache_refresh_period
@@ -496,7 +506,7 @@ class BOptimizer:
         # calls must not reuse a jit traced for the old mode (stale
         # with_K/with_Linv would silently run the wrong update path)
         key = (self.cache_fast_update, self.cache_query_dtype,
-               self.cache_defer_m)
+               self.cache_defer_m, self.cache_lite)
         if getattr(self, "_cache_jit_key", None) != key:
             with_K = self.cache_fast_update == "refined"
             with_Linv = self.cache_fast_update in ("linv", "deferred")
@@ -506,7 +516,7 @@ class BOptimizer:
                 partial(gp_mod.QueryCache.build, with_K=with_K,
                         with_Linv=with_Linv,
                         qdtype=self.cache_query_dtype,
-                        defer_m=defer_m))
+                        defer_m=defer_m, lite=self.cache_lite))
             self._cache_jit_key = key
         return self._cache_jit(gp)
 
@@ -657,7 +667,8 @@ class BOptimizer:
             cache = (gp_mod.QueryCache.build(gp, with_K=with_K,
                                              with_Linv=with_Linv,
                                              qdtype=self.cache_query_dtype,
-                                             defer_m=defer_m)
+                                             defer_m=defer_m,
+                                             lite=self.cache_lite)
                      if use_cache
                      else gp_mod.QueryCache(Kinv=jnp.zeros((1, 1), dtype)))
             best0 = jnp.max(jnp.where(
@@ -694,7 +705,7 @@ class BOptimizer:
                             lambda g: gp_mod.QueryCache.build(
                                 g, with_K=with_K, with_Linv=with_Linv,
                                 qdtype=self.cache_query_dtype,
-                                defer_m=defer_m),
+                                defer_m=defer_m, lite=self.cache_lite),
                             lambda g: cache, gp)
                 agg_y = aggregator(y)
                 best = jnp.maximum(best, agg_y)

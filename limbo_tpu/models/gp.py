@@ -306,7 +306,16 @@ class QueryCache:
     quadratic form); numerically within O(cond * eps) of it.
     """
 
-    Kinv: jax.Array
+    # The f32 master inverse.  None in the "lite" deferred cache, which
+    # carries only the low-precision query mirror (Kinv_q): flushes then
+    # update the mirror in place with the f32-computed rank-m correction
+    # (one N x N pass instead of read+write f32 Kinv + mirror cast — and a
+    # third of the memory at a given capacity, which is what pushes the
+    # single-chip frontier past n=24k on a 16 GB part).  Each lite flush
+    # adds one rounding of the mirror dtype (a random walk of ~2^-9
+    # relative steps for bf16, sqrt(F) growth over F flushes); the periodic
+    # exact rebuild (cache_refresh_period) bounds it.
+    Kinv: Optional[jax.Array] = None
     # Optionally the (masked, noise+jitter) training covariance itself —
     # enables the "refined" cached update: one iterative-refinement step
     # u <- u + Kinv (k - K u) replaces two serialized triangular solves
@@ -353,7 +362,8 @@ class QueryCache:
     @classmethod
     def build(cls, gp: GP, block: int = 1024,
               with_K: bool = False, with_Linv: bool = False,
-              qdtype=None, defer_m: int = 0) -> "QueryCache":
+              qdtype=None, defer_m: int = 0,
+              lite: bool = False) -> "QueryCache":
         """Blocked inversion: Linv column-panels via scanned triangular
         solves, then Kinv = Linv^T Linv (one matmul).
 
@@ -368,6 +378,10 @@ class QueryCache:
         """
         N = gp.capacity
         K = gp.kernel.gram_train_masked(gp.x, gp.n) if with_K else None
+        if lite and not (defer_m > 0 and with_Linv):
+            raise ValueError("lite caches need with_Linv=True and "
+                             "defer_m > 0 (the mirror is updated via the "
+                             "maintained Linv's deferred pivots)")
 
         def _finish(Kinv, Linv):
             defer = {}
@@ -379,6 +393,12 @@ class QueryCache:
                 defer = dict(P=jnp.zeros((N, defer_m), dtype=gp.x.dtype),
                              base_n=gp.n.astype(jnp.int32),
                              ay=a[:, :-1], u_ones=a[:, -1])
+            if lite:
+                # no f32 master: the (possibly low-precision) mirror is the
+                # only N x N query matrix; flushes update it in place
+                return cls(Kinv=None, K=None, Linv=Linv,
+                           Kinv_q=Kinv.astype(qdtype) if qdtype else Kinv,
+                           **defer)
             return cls(Kinv=Kinv, K=K, Linv=Linv if with_Linv else None,
                        Kinv_q=Kinv.astype(qdtype) if qdtype else None,
                        **defer)
@@ -761,13 +781,39 @@ def _add_sample_deferred(gp: GP, cache: QueryCache, x_new, y_new,
         # from the fresh buffer (two matvecs fused over one Kinv read) so
         # recurrence rounding never outlives a flush window.
         pend = ((idx >= cache.base_n) & (idx <= i)).astype(dtype)
-        Kinv = (cache.Kinv
-                + jnp.dot(P, P.T, preferred_element_type=dtype)
-                - jnp.where(idx[:, None] == idx[None, :], pend[None, :], 0.0))
+        corr = (jnp.dot(P, P.T, preferred_element_type=dtype)
+                - jnp.where(idx[:, None] == idx[None, :],
+                            pend[None, :], 0.0))
         rhs = jnp.concatenate([ym, mask2[:, None]], axis=1)
-        a = jnp.dot(Kinv, rhs, preferred_element_type=dtype)
-        mirror = (Kinv.astype(cache.Kinv_q.dtype)
-                  if cache.Kinv_q is not None else None)
+        if cache.Kinv is None:
+            if cache.Kinv_q.dtype == dtype:
+                # lite, full-precision mirror: in-place rank-m add (one
+                # fused read-add-write pass)
+                mirror = cache.Kinv_q + corr
+            else:
+                # lite, low-precision mirror: an in-place add is INVALID —
+                # the correction's entries are far below the mirror's
+                # quantization step and get absorbed (measured: a bf16
+                # in-place flush leaves the mirror stale and posterior
+                # variance off by O(prior)).  Rebuild exactly from the
+                # maintained Linv instead — O(N^2 m_panel) GEMM flops on
+                # the MXU; size defer_m large (the pending-P query
+                # correction costs N x m bytes per step, so m of 128-512
+                # is nearly free) to amortize.
+                mirror = jnp.dot(
+                    Linv.T, Linv, preferred_element_type=dtype,
+                    precision=jax.lax.Precision.HIGHEST).astype(
+                        cache.Kinv_q.dtype)
+            # ay/u_ones re-derive from the maintained Linv (exact, two
+            # (N,N)@(N,k) passes)
+            z = jnp.dot(Linv, rhs, preferred_element_type=dtype)
+            a = jnp.dot(Linv.T, z, preferred_element_type=dtype)
+            Kinv = None
+        else:
+            Kinv = cache.Kinv + corr
+            a = jnp.dot(Kinv, rhs, preferred_element_type=dtype)
+            mirror = (Kinv.astype(cache.Kinv_q.dtype)
+                      if cache.Kinv_q is not None else None)
         return (Kinv, mirror, jnp.zeros_like(P),
                 (i + 1).astype(cache.base_n.dtype), a[:, :-1], a[:, -1])
 

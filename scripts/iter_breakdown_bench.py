@@ -7,7 +7,7 @@ Isolates where the ~27 ms/iteration goes:
     optimize_jit execution style) — any gap vs python-loop is host dispatch
     overhead on the tunneled backend;
   * acquisition-only: the RandomRestarts maximization alone, chained;
-  * update-only: add_sample_cached ("linv" mode, the shipped
+  * update-only: add_sample_cached ("deferred" mode, the shipped
     bench default) alone, chained.
 
 Usage: python scripts/iter_breakdown_bench.py [n] [iters]
@@ -56,7 +56,7 @@ def setup(n, d, iters):
     log(f"fit {time.perf_counter()-t0:.0f}s")
     t0 = time.perf_counter()
     cache = jax.jit(partial(gp_mod.QueryCache.build, with_Linv=True,
-                            qdtype=jnp.bfloat16))(gp)
+                            qdtype=jnp.bfloat16, defer_m=32))(gp)
     float(cache.Kinv[0, 0])
     log(f"cache {time.perf_counter()-t0:.0f}s")
     return gp, cache
@@ -76,7 +76,7 @@ def make_parts(gp0):
 
     def update(gp, cache, x, y):
         return gp_mod.add_sample_cached(gp, cache, x, y,
-                                        fast_update="linv")
+                                        fast_update="deferred")
 
     def bo_iter(gp, cache, key):
         x = acquire(gp, cache, key)

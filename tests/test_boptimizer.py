@@ -141,6 +141,34 @@ def test_bo_query_cache_bf16_mirror_path():
     assert float(history["best"][-1]) > -1e-2
 
 
+def test_bo_query_cache_lite():
+    """cache_lite=True (no f32 K^{-1} master; mirror-only) drives both loops
+    to the optimum; lite requires the deferred mode."""
+    with pytest.raises(ValueError, match="cache_lite"):
+        BOptimizer(use_query_cache=True, cache_fast_update="linv",
+                   cache_lite=True)
+    bo = make_bo(UCB(alpha=0.5), iters=30)
+    bo.use_query_cache = True
+    bo.cache_fast_update = "deferred"
+    bo.cache_lite = True
+    bo.cache_defer_m = 8
+    bo.cache_query_dtype = jnp.bfloat16
+    state = bo.optimize(quad, dim_in=2, key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(state.best_sample, [OPT_X, OPT_X], atol=0.1)
+
+    def f(x):
+        return jnp.asarray([-jnp.sum((x - OPT_X) ** 2)])
+
+    bo2 = make_bo(UCB(alpha=0.5), iters=25)
+    bo2.use_query_cache = True
+    bo2.cache_fast_update = "deferred"
+    bo2.cache_lite = True
+    bo2.cache_defer_m = 8
+    bo2.cache_query_dtype = jnp.bfloat16
+    state, history = bo2.optimize_jit(f, dim_in=2, key=jax.random.PRNGKey(9))
+    assert float(history["best"][-1]) > -1e-2
+
+
 @pytest.mark.parametrize("mode", ["refined", "linv", "deferred", True])
 def test_bo_query_cache_fast_update_modes(mode):
     """Every cached-add mode drives the BO loop to the optimum through both

@@ -814,3 +814,80 @@ def test_cached_deferred_guards():
     with pytest.raises(ValueError):
         gp_mod.add_sample_cached(gp_f, cache_f, x_new, y_new,
                                  fast_update="deferred")
+
+
+def test_cached_deferred_lite_matches_full():
+    """The lite cache (no f32 master; mirror updated in place at flushes)
+    tracks the full deferred cache to mirror-dtype tolerance, with a third
+    less N x N memory."""
+    import functools
+
+    dtype = jnp.float32
+    d = 3
+    key = jax.random.PRNGKey(0)
+    kx, ky = jax.random.split(key)
+    X = jax.random.uniform(kx, (48, d), dtype=dtype)
+    Y = jnp.sin(3.0 * jnp.sum(X, axis=1, keepdims=True)) \
+        + 0.1 * jax.random.normal(ky, (48, 1), dtype=dtype)
+    gp0 = gp_mod.fit(SquaredExpARD.create(dim=d, dtype=dtype),
+                     DataMean.create(dim_out=1, dtype=dtype), X, Y,
+                     capacity=128)
+    # f32 "mirror" lite cache: must match the full deferred cache to f32
+    # round-off (the lite flush adds one f32 rounding per window)
+    c_full = gp_mod.QueryCache.build(gp0, with_Linv=True, defer_m=4)
+    c_lite = gp_mod.QueryCache.build(gp0, with_Linv=True, defer_m=4,
+                                     lite=True)
+    assert c_lite.Kinv is None and c_lite.Kinv_q.dtype == dtype
+    add = jax.jit(functools.partial(gp_mod.add_sample_cached,
+                                    fast_update="deferred"))
+    gp_f, gp_l = gp0, gp0
+    Xq = jax.random.uniform(jax.random.PRNGKey(2), (32, d), dtype=dtype)
+    k = jax.random.PRNGKey(1)
+    for step in range(11):                  # crosses two flush boundaries
+        k, kx2 = jax.random.split(k)
+        x_new = jax.random.uniform(kx2, (d,), dtype=dtype)
+        y_new = jnp.sin(3.0 * jnp.sum(x_new))[None]
+        gp_f, c_full = add(gp_f, c_full, x_new, y_new)
+        gp_l, c_lite = add(gp_l, c_lite, x_new, y_new)
+        mu_f, var_f = gp_mod.query_cached(gp_f, c_full, Xq)
+        mu_l, var_l = gp_mod.query_cached(gp_l, c_lite, Xq)
+        assert float(jnp.max(jnp.abs(mu_f - mu_l))) < 5e-4, step
+        assert float(jnp.max(jnp.abs(var_f - var_l))) < 5e-4, step
+
+    # bf16 lite mirror: still within the bf16 query tolerance of the exact
+    # rebuilt posterior after 100 appends
+    gp_b = gp0
+    c_b = gp_mod.QueryCache.build(gp0, with_Linv=True, defer_m=8,
+                                  lite=True, qdtype=jnp.bfloat16)
+    assert c_b.Kinv_q.dtype == jnp.bfloat16
+    kk = jax.random.PRNGKey(3)
+    for _ in range(60):
+        kk, kx2 = jax.random.split(kk)
+        x_new = jax.random.uniform(kx2, (d,), dtype=dtype)
+        gp_b, c_b = add(gp_b, c_b, x_new,
+                        jnp.sin(3.0 * jnp.sum(x_new))[None])
+    # the real invariant: lite-bf16 state == full-deferred-bf16 state (same
+    # trajectory); both carry the same bounded bf16 mirror quantization
+    gp_fb = gp0
+    c_fb = gp_mod.QueryCache.build(gp0, with_Linv=True, defer_m=8,
+                                   qdtype=jnp.bfloat16)
+    kk = jax.random.PRNGKey(3)
+    for _ in range(60):
+        kk, kx2 = jax.random.split(kk)
+        x_new = jax.random.uniform(kx2, (d,), dtype=dtype)
+        gp_fb, c_fb = add(gp_fb, c_fb, x_new,
+                          jnp.sin(3.0 * jnp.sum(x_new))[None])
+    assert float(jnp.max(jnp.abs(
+        c_b.Kinv_q.astype(dtype) - c_fb.Kinv_q.astype(dtype)))) < 1e-4
+    assert float(jnp.max(jnp.abs(c_b.ay - c_fb.ay))) < 1e-3
+    gp_x = gp_mod.recompute(gp_b)
+    cache_x = gp_mod.QueryCache.build(gp_x)
+    mu_e, var_e = gp_mod.query_cached(gp_x, cache_x, Xq)
+    mu_b, var_b = gp_mod.query_cached(gp_b, c_b, Xq)
+    assert float(jnp.max(jnp.abs(mu_b - mu_e))) < 2e-3
+    # variance through a bf16 mirror carries ~2^-9-relative quantization of
+    # the quadratic form (bounded, non-compounding; see QueryCache.Kinv_q)
+    assert float(jnp.max(jnp.abs(var_b - var_e))) < 1e-1
+
+    with pytest.raises(ValueError):
+        gp_mod.QueryCache.build(gp0, with_Linv=True, lite=True)  # no defer_m
