@@ -14,7 +14,9 @@ Output: drift_results/drift.json with the telemetry curve and the smallest
 refresh period that keeps posterior drift under `mu_tol` — the data behind
 BOptimizer's cache_refresh_period default.
 
-Usage: python scripts/drift_bench.py [n] [iters]   (TPU; ~minutes)
+Usage: python scripts/drift_bench.py [n] [iters] [mode]   (TPU; ~minutes)
+mode: solve (default) | refined | linv | deferred | raw — the
+add_sample_cached fast_update mode under test.
 """
 
 import json
@@ -36,7 +38,7 @@ from limbo_tpu.models import gp as gp_mod
 
 
 def run(n=10000, iters=200, d=8, probe_every=10, mu_tol=1e-3,
-        out_dir="drift_results", dtype=jnp.float32, seed=0):
+        out_dir="drift_results", dtype=jnp.float32, seed=0, mode="solve"):
     capacity = -(-(n + iters + 1) // 256) * 256
     key = jax.random.PRNGKey(seed)
     kx, ky = jax.random.split(key)
@@ -48,18 +50,32 @@ def run(n=10000, iters=200, d=8, probe_every=10, mu_tol=1e-3,
 
     gp = jax.jit(lambda X, Y: gp_mod.fit(kernel, mean, X, Y,
                                          capacity=capacity))(X, Y)
-    cache = jax.jit(gp_mod.QueryCache.build)(gp)
+    fast_update = {"solve": False, "raw": True}.get(mode, mode)
+    from functools import partial
+    cache = jax.jit(partial(
+        gp_mod.QueryCache.build,
+        with_K=(mode == "refined"),
+        with_Linv=(mode in ("linv", "deferred")),
+        defer_m=(32 if mode == "deferred" else 0)))(gp)
     float(cache.Kinv[0, 0])
 
-    add = jax.jit(gp_mod.add_sample_cached)
+    add = jax.jit(partial(gp_mod.add_sample_cached, fast_update=fast_update))
 
     @jax.jit
     def probe_residual(gp, cache, key):
         K = gp.kernel.gram_train_masked(gp.x, gp.n)
         v = jax.random.normal(key, (gp.capacity, 8), dtype=gp.x.dtype)
-        r = jnp.dot(K, jnp.dot(cache.Kinv, v,
-                               preferred_element_type=gp.x.dtype),
-                    preferred_element_type=gp.x.dtype) - v
+        Kinv = cache.Kinv if cache.Kinv is not None \
+            else cache.Kinv_q.astype(gp.x.dtype)
+        Kv = jnp.dot(Kinv, v, preferred_element_type=gp.x.dtype)
+        if cache.P is not None:
+            # apply the pending deferred correction: the effective inverse
+            # is Kinv + P P^T - diag(pend)
+            idx = jnp.arange(gp.capacity)
+            pend = ((idx >= cache.base_n) & (idx < gp.n)).astype(gp.x.dtype)
+            Kv = (Kv + jnp.dot(cache.P, jnp.dot(cache.P.T, v))
+                  - pend[:, None] * v)
+        r = jnp.dot(K, Kv, preferred_element_type=gp.x.dtype) - v
         return jnp.max(jnp.abs(r))
 
     @jax.jit
@@ -97,9 +113,10 @@ def run(n=10000, iters=200, d=8, probe_every=10, mu_tol=1e-3,
             break
     os.makedirs(out_dir, exist_ok=True)
     out = {"n": n, "iters": iters, "dtype": str(dtype.__name__),
-           "curve": curve, "mu_tol": mu_tol,
+           "mode": mode, "curve": curve, "mu_tol": mu_tol,
            "recommended_refresh_period": max(safe, probe_every)}
-    with open(os.path.join(out_dir, "drift.json"), "w") as fh:
+    with open(os.path.join(out_dir, f"drift_{mode}.json"
+                           if mode != "solve" else "drift.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"recommended cache_refresh_period >= {out['recommended_refresh_period']}")
     return out
@@ -108,4 +125,5 @@ def run(n=10000, iters=200, d=8, probe_every=10, mu_tol=1e-3,
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 200
-    run(n=n, iters=iters)
+    mode = sys.argv[3] if len(sys.argv) > 3 else "solve"
+    run(n=n, iters=iters, mode=mode)

@@ -10,7 +10,10 @@ sweep, bf16 query mirror).  Memory budget per n (f32): L + Linv + Kinv
 16 GB HBM; beyond that the row-sharded / iterative paths take over
 (parallel/sharded_chol.py, models/iterative.py).
 
-Usage: python scripts/large_n_bench.py [n1 n2 ...]   (default 10240 16384 24576)
+Usage: python scripts/large_n_bench.py [--lite] [n1 n2 ...]
+(default 10240 16384 24576).  --lite drops the f32 K^{-1} master
+(mirror-only cache, defer_m=256): L + Linv + bf16 mirror ~ 2.5 N^2 bytes —
+the n=32k+ single-chip configuration.
 Appends one JSON line per n to scaling_results/large_n.jsonl.
 """
 
@@ -38,13 +41,14 @@ from limbo_tpu.opt.gradient import Rprop
 RESTARTS, ASCENT_STEPS, SWEEP = 32, 30, 1024
 ITERS = 6
 D = 8
+LITE = False
 
 
 def log(msg):
     print(f"[large-n] {msg}", file=sys.stderr, flush=True)
 
 
-def run(n):
+def run(n, lite=False):
     capacity = -(-(n + ITERS + 2) // 512) * 512
     kx, ky = jax.random.split(jax.random.PRNGKey(0))
     X = jax.random.uniform(kx, (n, D), dtype=jnp.float32)
@@ -66,14 +70,15 @@ def run(n):
     log(f"n={n}: fit {t_fit*1e3:.0f} ms (cold {t_fit_cold:.0f} s)")
 
     build = jax.jit(partial(gp_mod.QueryCache.build, with_Linv=True,
-                            qdtype=jnp.bfloat16))
+                            qdtype=jnp.bfloat16,
+                            defer_m=(256 if lite else 32), lite=lite))
     t0 = time.perf_counter()
     cache = build(gp)
-    float(cache.Kinv[0, 0])
+    float(cache.Kinv_q[0, 0])
     t_cache_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     cache = build(gp)
-    float(cache.Kinv[0, 0])
+    float(cache.Kinv_q[0, 0])
     t_cache = time.perf_counter() - t0
     log(f"n={n}: cache build {t_cache*1e3:.0f} ms (cold {t_cache_cold:.0f} s)")
 
@@ -89,7 +94,7 @@ def run(n):
         res = opt(acq_fn, start, key, True)
         y = jnp.sin(3.0 * jnp.sum(res.x))[None]
         return gp_mod.add_sample_cached(gp, cache, res.x, y,
-                                        fast_update="linv")
+                                        fast_update="deferred")
 
     key = jax.random.PRNGKey(1)
     gp, cache = bo_iter(gp, cache, key)     # compile
@@ -102,23 +107,26 @@ def run(n):
     t_iter = (time.perf_counter() - t0) / (ITERS - 1)
     log(f"n={n}: bo_iter {t_iter*1e3:.2f} ms ({1/t_iter:.1f} iters/s)")
 
-    return {"n": n, "capacity": capacity,
+    return {"n": n, "capacity": capacity, "lite": lite,
             "fit_ms": round(t_fit * 1e3, 1),
             "cache_build_ms": round(t_cache * 1e3, 1),
             "bo_iter_ms": round(t_iter * 1e3, 2),
             "iters_per_s": round(1 / t_iter, 1)}
 
 
-def main(ns):
+def main(ns, lite=False):
     os.makedirs("scaling_results", exist_ok=True)
     out = os.path.join("scaling_results", "large_n.jsonl")
     for n in ns:
-        rec = run(n)
+        rec = run(n, lite=lite)
         with open(out, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
         log(json.dumps(rec))
 
 
 if __name__ == "__main__":
-    ns = [int(a) for a in sys.argv[1:]] or [10240, 16384, 24576]
-    main(ns)
+    args = sys.argv[1:]
+    lite = "--lite" in args
+    ns = [int(a) for a in args if not a.startswith("--")] \
+        or [10240, 16384, 24576]
+    main(ns, lite=lite)
