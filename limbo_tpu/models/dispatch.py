@@ -26,6 +26,10 @@ def query_any(model, Xq: jax.Array) -> Tuple[jax.Array, jax.Array]:
         from limbo_tpu.parallel.sharded_acq import sharded_query_cached
 
         return sharded_query_cached(model, Xq)
+    if type(model).__name__ == "_BigLocalView":
+        from limbo_tpu.parallel.sharded_big import big_query
+
+        return big_query(model, Xq)
     if isinstance(model, sparse_gp.SparsifiedGP):
         return gp_mod.query(model.gp, Xq)
     if isinstance(model, spgp.SPGP):

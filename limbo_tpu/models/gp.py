@@ -163,7 +163,16 @@ def recompute(gp: GP, update_obs_mean: bool = True) -> GP:
     # digits of headroom, gp.hpp:550-571).  lax.cond pays the second
     # Cholesky only when triggered.
     bad = jnp.logical_not(jnp.all(jnp.isfinite(L)))
-    esc = (1000.0 * effective_jitter(K.dtype)
+    # The ridge follows the f32 ACCUMULATION-error model, not a fixed
+    # multiple: each Cholesky pivot subtracts an O(n)-term inner product
+    # whose rounding grows like eps * n * max|K| — at n ~ 32k that is
+    # ~4e-3, where the old 1000*eps*max|diag| (~1e-4) ridge could not
+    # recover a mid-factorization breakdown (observed: NaN factor at
+    # n=32768, d=8, noise=0.01).  The ridge only applies when the first
+    # factorization already failed, i.e. when accuracy at this scale is
+    # already lost — it makes that loss explicit and PSD.  (Same model as
+    # KernelLFOpt's objective_jitter="auto", 32*eps*N*max(1, var y).)
+    esc = (32.0 * effective_jitter(K.dtype) * K.shape[0]
            * jnp.max(jnp.abs(jnp.diagonal(K))))
     L = jax.lax.cond(
         bad,
@@ -405,6 +414,39 @@ class QueryCache:
 
         if use_blocked_tri(N):
             Linv = tri_inv_dispatch(gp.L)
+            if lite and qdtype is not None and qdtype != gp.x.dtype:
+                # low-precision lite at large N: never materialize the f32
+                # K^{-1} — emit the mirror column-panel by column-panel
+                # (each panel one (N,N)@(N,w) GEMM, cast before stacking),
+                # and derive ay/u_ones from Linv directly.  This is what
+                # fits n=32k+ on a 16 GB chip: peak N x N residency is
+                # L + Linv + the low-precision mirror (~2.5 N^2 bytes).
+                w = next(d for d in range(min(1024, N), 0, -1)
+                         if N % d == 0)
+
+                def body(_, i):
+                    cols = jax.lax.dynamic_slice(Linv, (0, i * w), (N, w))
+                    panel = jnp.dot(Linv.T, cols,
+                                    preferred_element_type=gp.x.dtype,
+                                    precision=jax.lax.Precision.HIGHEST)
+                    # emit the panel TRANSPOSED: K^{-1} is symmetric, so
+                    # column panels transposed are row panels — the stacked
+                    # scan output reshapes straight to (N, N) with no
+                    # full-size transpose pass (which would hold a second
+                    # mirror-sized temp at the peak of the build)
+                    return None, panel.T.astype(qdtype)
+
+                _, panels = jax.lax.scan(body, None, jnp.arange(N // w))
+                mirror = jnp.reshape(panels, (N, N))
+                mask = gp.mask
+                rhs = jnp.concatenate([gp.y * mask[:, None],
+                                       mask[:, None]], axis=1)
+                z = jnp.dot(Linv, rhs, preferred_element_type=gp.x.dtype)
+                a = jnp.dot(Linv.T, z, preferred_element_type=gp.x.dtype)
+                return cls(Kinv=None, K=None, Linv=Linv, Kinv_q=mirror,
+                           P=jnp.zeros((N, defer_m), dtype=gp.x.dtype),
+                           base_n=gp.n.astype(jnp.int32),
+                           ay=a[:, :-1], u_ones=a[:, -1])
             Kinv = jnp.dot(Linv.T, Linv, preferred_element_type=gp.x.dtype,
                            precision=jax.lax.Precision.HIGHEST)
             return _finish(Kinv, Linv)

@@ -16,6 +16,11 @@ from limbo_tpu.parallel.sharded_acq import (
     shard_cache_cols,
     sharded_query_cached,
 )
+from limbo_tpu.parallel.sharded_big import (
+    BigGP,
+    make_big_bo_iter,
+    sharded_cache_from_fit,
+)
 
 __all__ = [
     "make_mesh", "make_mesh_2d", "replicated", "shard_batch",
@@ -23,4 +28,5 @@ __all__ = [
     "ShardedGP", "sharded_cholesky", "sharded_fit", "sharded_query",
     "ShardColsGPView", "make_sharded_bo_iter", "shard_cache_cols",
     "sharded_query_cached",
+    "BigGP", "make_big_bo_iter", "sharded_cache_from_fit",
 ]

@@ -52,9 +52,14 @@ def run(n, lite=False):
     capacity = -(-(n + ITERS + 2) // 512) * 512
     kx, ky = jax.random.split(jax.random.PRNGKey(0))
     X = jax.random.uniform(kx, (n, D), dtype=jnp.float32)
+    # noise std 0.3 / kernel noise 0.09: keeps the EXACT GP f32-well-posed
+    # at every benchmarked size (cond(K) <= lambda_max/noise ~ 2e5 at
+    # n=32k, 40x under the f32 Cholesky breakdown).  The previous
+    # noise=0.01 config was f32-ill-posed past ~16k: the factor went NaN
+    # and timings ran over NaN buffers (same FLOPs, invalid numerics).
     Y = jnp.sin(3.0 * jnp.sum(X, axis=1, keepdims=True)) \
-        + 0.1 * jax.random.normal(ky, (n, 1), dtype=jnp.float32)
-    kernel = SquaredExpARD.create(dim=D, dtype=jnp.float32)
+        + 0.3 * jax.random.normal(ky, (n, 1), dtype=jnp.float32)
+    kernel = SquaredExpARD.create(dim=D, noise=0.09, dtype=jnp.float32)
     mean = DataMean.create(dim_out=1, dtype=jnp.float32)
 
     fit = jax.jit(lambda X, Y: gp_mod.fit(kernel, mean, X, Y,
@@ -106,8 +111,15 @@ def run(n, lite=False):
     float(gp.n)
     t_iter = (time.perf_counter() - t0) / (ITERS - 1)
     log(f"n={n}: bo_iter {t_iter*1e3:.2f} ms ({1/t_iter:.1f} iters/s)")
+    # numerics validity: a NaN factor would produce identical timings
+    finite = bool(jnp.all(jnp.isfinite(gp.L))
+                  and jnp.all(jnp.isfinite(gp.alpha))
+                  and jnp.all(jnp.isfinite(
+                      cache.Kinv_q.astype(jnp.float32)
+                      if cache.Kinv_q is not None else cache.Kinv)))
+    log(f"n={n}: finite={finite}")
 
-    return {"n": n, "capacity": capacity, "lite": lite,
+    return {"n": n, "capacity": capacity, "lite": lite, "finite": finite,
             "fit_ms": round(t_fit * 1e3, 1),
             "cache_build_ms": round(t_cache * 1e3, 1),
             "bo_iter_ms": round(t_iter * 1e3, 2),
