@@ -226,7 +226,8 @@ def add_sample(gp: GP, x_new: jax.Array, y_new: jax.Array) -> GP:
     # jitter-like resolution — limbo leans on f64 Eigen headroom instead,
     # gp.hpp:573-603.)
     ll = jnp.dot(l, l)
-    floor = effective_jitter(dtype) * kxx
+    floor = jnp.maximum(gp.kernel.train_diag_add(x_new[None, :])[0],
+                        effective_jitter(dtype) * kxx)
     ll_clamped = jnp.minimum(ll, kxx - floor)
     l = l * jnp.sqrt(ll_clamped / jnp.maximum(ll, jnp.finfo(dtype).tiny))
     d = jnp.sqrt(kxx - ll_clamped)
@@ -663,12 +664,22 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
     y_new = jnp.asarray(y_new, dtype=dtype)
 
     k_vec = gp.kernel.gram(x_new[None, :], gp.x)[0] * mask           # (N,)
-    kappa = (gp.kernel.k_diag(x_new[None, :])[0]
-             + gp.kernel.train_diag_add(x_new[None, :])[0])
+    diag_add = gp.kernel.train_diag_add(x_new[None, :])[0]
+    kappa = gp.kernel.k_diag(x_new[None, :])[0] + diag_add
+    # noise-aware Schur-complement floor: mathematically s >= the diagonal
+    # noise+jitter of the NOISY kernel, and the cached pivot's computed s
+    # carries the inverse-factor's forward error (~eps * cond(K)) — at
+    # n >= 16k that error exceeds a tiny eps-scale floor, s goes negative,
+    # and the 1/d border row then blows the maintained factor up
+    # geometrically (observed: overflow within 5 appends at n=16384).
+    # Clipping to [diag_add, kappa] keeps every bordered update PD with a
+    # bounded growth factor 1/sqrt(diag_add).
+    s_floor = jnp.maximum(diag_add, effective_jitter(dtype) * kappa)
     N = gp.capacity
     e_i = (jnp.arange(N) == i).astype(dtype)
     if fast_update == "deferred":
-        return _add_sample_deferred(gp, cache, x_new, y_new, k_vec, kappa, e_i)
+        return _add_sample_deferred(gp, cache, x_new, y_new, k_vec, kappa,
+                                    e_i, s_floor)
     if cache.P is not None:
         raise ValueError(
             "this cache was built with defer_m > 0; immediate-update modes "
@@ -686,16 +697,14 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
         from limbo_tpu.ops.trimv import trimv
         l = trimv(cache.Linv, k_vec) * mask
         u = trimv(cache.Linv, l, transpose=True) * mask
-        s = jnp.maximum(kappa - jnp.dot(k_vec, u),
-                        effective_jitter(dtype) * kappa)
+        s = jnp.clip(kappa - jnp.dot(k_vec, u), s_floor, kappa)
     elif fast_update == "refined":
         if cache.K is None:
             raise ValueError("refined updates need QueryCache.build(with_K=True)")
         u = jnp.dot(cache.Kinv, k_vec, preferred_element_type=dtype) * mask
         r = k_vec - jnp.dot(cache.K, u, preferred_element_type=dtype)
         u = (u + jnp.dot(cache.Kinv, r, preferred_element_type=dtype)) * mask
-        s = jnp.maximum(kappa - jnp.dot(k_vec, u),
-                        effective_jitter(dtype) * kappa)
+        s = jnp.clip(kappa - jnp.dot(k_vec, u), s_floor, kappa)
         l = jnp.dot(gp.L.T, u, preferred_element_type=dtype)
     elif fast_update:
         if cache.Linv is not None:
@@ -708,16 +717,14 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
                 "maintained Linv; use fast_update='linv' with this cache, "
                 "or build it without with_Linv")
         u = jnp.dot(cache.Kinv, k_vec, preferred_element_type=dtype) * mask
-        s = jnp.maximum(kappa - jnp.dot(k_vec, u),
-                        effective_jitter(dtype) * kappa)
+        s = jnp.clip(kappa - jnp.dot(k_vec, u), s_floor, kappa)
         # rank-1 Cholesky append without a solve: u = K^{-1}k = L^{-T}L^{-1}k
         # implies l = L^{-1}k = L^T u (matvec), and l.l = k.u so d = sqrt(s).
         l = jnp.dot(gp.L.T, u, preferred_element_type=dtype)
     else:
         l = solve_triangular(gp.L, k_vec, lower=True)
         u = solve_triangular(gp.L.T, l, lower=False) * mask
-        s = jnp.maximum(kappa - jnp.dot(k_vec, u),
-                        effective_jitter(dtype) * kappa)
+        s = jnp.clip(kappa - jnp.dot(k_vec, u), s_floor, kappa)
     # Kinv' core block += u u^T / s ; border row/col = -u/s ; corner = 1/s.
     # Scatter-free: with u masked (u[i] = 0) and Kinv's padded-identity
     # row/col i, the bordered inverse is exactly
@@ -762,7 +769,7 @@ def add_sample_cached(gp: GP, cache: QueryCache, x_new: jax.Array,
 
 
 def _add_sample_deferred(gp: GP, cache: QueryCache, x_new, y_new,
-                         k_vec, kappa, e_i) -> Tuple[GP, QueryCache]:
+                         k_vec, kappa, e_i, s_floor) -> Tuple[GP, QueryCache]:
     """The "deferred" cached append: O(N) per step beyond the two pivot
     matvecs; the N x N Kinv/mirror rewrite amortizes to one GEMM per m
     appends.
@@ -796,8 +803,7 @@ def _add_sample_deferred(gp: GP, cache: QueryCache, x_new, y_new,
     N = gp.capacity
     l = trimv(cache.Linv, k_vec) * mask
     u = trimv(cache.Linv, l, transpose=True) * mask
-    s = jnp.maximum(kappa - jnp.dot(k_vec, u),
-                    effective_jitter(dtype) * kappa)
+    s = jnp.clip(kappa - jnp.dot(k_vec, u), s_floor, kappa)
     d = jnp.sqrt(s)
     v = u - e_i
     L = gp.L.at[i].set(l * mask + d * e_i)

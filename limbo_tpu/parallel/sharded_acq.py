@@ -193,14 +193,15 @@ def sharded_add_deferred(view: ShardColsGPView, x_new: jax.Array,
     x_new = jnp.asarray(x_new, dtype=dtype)
     y_new = jnp.asarray(y_new, dtype=dtype)
     k_vec = gp.kernel.gram(x_new[None, :], gp.x)[0] * mask
-    kappa = (gp.kernel.k_diag(x_new[None, :])[0]
-             + gp.kernel.train_diag_add(x_new[None, :])[0])
+    diag_add = gp.kernel.train_diag_add(x_new[None, :])[0]
+    kappa = gp.kernel.k_diag(x_new[None, :])[0] + diag_add
+    # noise-aware Schur floor (see gp.add_sample_cached)
+    s_floor = jnp.maximum(diag_add, effective_jitter(dtype) * kappa)
     e_i = (jnp.arange(N) == i).astype(dtype)
 
     l = trimv(cache.Linv, k_vec) * mask
     u = trimv(cache.Linv, l, transpose=True) * mask
-    s = jnp.maximum(kappa - jnp.dot(k_vec, u),
-                    effective_jitter(dtype) * kappa)
+    s = jnp.clip(kappa - jnp.dot(k_vec, u), s_floor, kappa)
     d = jnp.sqrt(s)
     v = u - e_i
     L = gp.L.at[i].set(l * mask + d * e_i)

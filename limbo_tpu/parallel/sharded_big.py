@@ -267,8 +267,10 @@ def _big_add(big: BigGP, x_new: jax.Array, y_new: jax.Array,
     x_new = jnp.asarray(x_new, dtype=dtype)
     y_new = jnp.asarray(y_new, dtype=dtype)
     k_vec = big.kernel.gram(x_new[None, :], big.x)[0] * mask
-    kappa = (big.kernel.k_diag(x_new[None, :])[0]
-             + big.kernel.train_diag_add(x_new[None, :])[0])
+    diag_add = big.kernel.train_diag_add(x_new[None, :])[0]
+    kappa = big.kernel.k_diag(x_new[None, :])[0] + diag_add
+    # noise-aware Schur floor (see gp.add_sample_cached)
+    s_floor = jnp.maximum(diag_add, effective_jitter(dtype) * kappa)
     e_i = (jnp.arange(N) == i).astype(dtype)
     row0 = jax.lax.axis_index(axis) * rows_loc
 
@@ -302,8 +304,7 @@ def _big_add(big: BigGP, x_new: jax.Array, y_new: jax.Array,
         u = jax.lax.dynamic_update_slice(u, ak[:, 0], (j0,))
     l = l * mask
     u = u * mask
-    s = jnp.maximum(kappa - jnp.dot(k_vec, u),
-                    effective_jitter(dtype) * kappa)
+    s = jnp.clip(kappa - jnp.dot(k_vec, u), s_floor, kappa)
     d = jnp.sqrt(s)
     v = u - e_i
 

@@ -52,14 +52,24 @@ def run(n, lite=False):
     capacity = -(-(n + ITERS + 2) // 512) * 512
     kx, ky = jax.random.split(jax.random.PRNGKey(0))
     X = jax.random.uniform(kx, (n, D), dtype=jnp.float32)
-    # noise std 0.3 / kernel noise 0.09: keeps the EXACT GP f32-well-posed
-    # at every benchmarked size (cond(K) <= lambda_max/noise ~ 2e5 at
-    # n=32k, 40x under the f32 Cholesky breakdown).  The previous
-    # noise=0.01 config was f32-ill-posed past ~16k: the factor went NaN
-    # and timings ran over NaN buffers (same FLOPs, invalid numerics).
+    # A WELL-POSED large-n configuration: noise std 0.3 / kernel noise
+    # 0.09, length scale 0.3.  With ell=1 the n >= 16k kernel matrix is so
+    # collinear that even a backward-stable f32 triangular solve computes
+    # the rank-1 Schur complement with O(0.1) absolute error — s comes out
+    # <= 0 where the true value is >= noise (the f32 factorization's
+    # FORWARD error, shared by the reference's algorithm run in f32), and
+    # acquisition-driven appends then feed a phantom-maximum loop; previous
+    # rounds' >=16k rows timed NaN/garbage buffers.  At ell=0.3 the
+    # measured Schur complements at n=16k sit at 0.32-0.75 (solve == raw
+    # matvec == refined to 4 decimals, /tmp probes in round 3) — two
+    # orders above the f32 error floor, with margin for 32k.  Short length
+    # scales are also the statistically right regime at large n (finer
+    # resolvable structure).  The bench asserts finiteness per row.
     Y = jnp.sin(3.0 * jnp.sum(X, axis=1, keepdims=True)) \
         + 0.3 * jax.random.normal(ky, (n, 1), dtype=jnp.float32)
     kernel = SquaredExpARD.create(dim=D, noise=0.09, dtype=jnp.float32)
+    kernel = kernel.replace(log_ell=jnp.full((D,), jnp.log(0.3),
+                                             dtype=jnp.float32))
     mean = DataMean.create(dim_out=1, dtype=jnp.float32)
 
     fit = jax.jit(lambda X, Y: gp_mod.fit(kernel, mean, X, Y,
@@ -68,6 +78,7 @@ def run(n, lite=False):
     gp = fit(X, Y)
     float(gp.L[0, 0])
     t_fit_cold = time.perf_counter() - t0
+    gp = None          # free the cold fit's N x N factor before re-running
     t0 = time.perf_counter()
     gp = fit(X, Y)
     float(gp.L[0, 0])
@@ -81,6 +92,7 @@ def run(n, lite=False):
     cache = build(gp)
     float(cache.Kinv_q[0, 0])
     t_cache_cold = time.perf_counter() - t0
+    cache = None       # free before the steady-state rebuild
     t0 = time.perf_counter()
     cache = build(gp)
     float(cache.Kinv_q[0, 0])
