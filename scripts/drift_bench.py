@@ -38,14 +38,18 @@ from limbo_tpu.models import gp as gp_mod
 
 
 def run(n=10000, iters=200, d=8, probe_every=10, mu_tol=1e-3,
-        out_dir="drift_results", dtype=jnp.float32, seed=0, mode="solve"):
+        out_dir="drift_results", dtype=jnp.float32, seed=0, mode="solve",
+        ell=None, noise=0.01):
     capacity = -(-(n + iters + 1) // 256) * 256
     key = jax.random.PRNGKey(seed)
     kx, ky = jax.random.split(key)
     X = jax.random.uniform(kx, (n, d), dtype=dtype)
     Y = jnp.sin(3.0 * jnp.sum(X, axis=1, keepdims=True)) \
         + 0.1 * jax.random.normal(ky, (n, 1), dtype=dtype)
-    kernel = SquaredExpARD.create(dim=d, dtype=dtype)
+    kernel = SquaredExpARD.create(dim=d, noise=noise, dtype=dtype)
+    if ell is not None:
+        kernel = kernel.replace(log_ell=jnp.full((d,), jnp.log(ell),
+                                                 dtype=dtype))
     mean = DataMean.create(dim_out=1, dtype=dtype)
 
     gp = jax.jit(lambda X, Y: gp_mod.fit(kernel, mean, X, Y,
@@ -126,4 +130,6 @@ if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     mode = sys.argv[3] if len(sys.argv) > 3 else "solve"
-    run(n=n, iters=iters, mode=mode)
+    ell = float(sys.argv[4]) if len(sys.argv) > 4 else None
+    noise = float(sys.argv[5]) if len(sys.argv) > 5 else 0.01
+    run(n=n, iters=iters, mode=mode, ell=ell, noise=noise)
