@@ -303,6 +303,36 @@ def query(gp, Xq: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return mu, var
 
 
+def _panel_width(N: int, cap: int = 1024) -> int:
+    """Largest divisor of N not exceeding cap.  Panel widths must DIVIDE N:
+    dynamic_slice clamps out-of-range starts, so a ragged last panel would
+    silently duplicate earlier rows/columns into the tail (garbage
+    results)."""
+    return next(d for d in range(min(cap, N), 0, -1) if N % d == 0)
+
+
+def _mirror_from_linv(Linv: jax.Array, qdtype) -> jax.Array:
+    """(Linv^T Linv) cast to qdtype, emitted column-panel by column-panel
+    so no f32 (N, N) intermediate ever materializes (each panel is one
+    (N,N)@(N,w) GEMM; K^{-1} is symmetric, so panels are emitted TRANSPOSED
+    and the stacked scan output reshapes straight to (N, N) with no
+    full-size transpose temp).  This is what keeps the lite cache's peak
+    N x N residency at L + Linv + mirror on a 16 GB chip at n=32k — both
+    at build time and at low-precision flushes."""
+    N = Linv.shape[0]
+    w = _panel_width(N)
+    f32 = Linv.dtype
+
+    def body(_, i):
+        cols = jax.lax.dynamic_slice(Linv, (0, i * w), (N, w))
+        panel = jnp.dot(Linv.T, cols, preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)
+        return None, panel.T.astype(qdtype)
+
+    _, panels = jax.lax.scan(body, None, jnp.arange(N // w))
+    return jnp.reshape(panels, (N, N))
+
+
 @struct.dataclass
 class QueryCache:
     """Precomputed K^{-1} for matmul-only queries (TPU fast path).
@@ -417,28 +447,9 @@ class QueryCache:
             Linv = tri_inv_dispatch(gp.L)
             if lite and qdtype is not None and qdtype != gp.x.dtype:
                 # low-precision lite at large N: never materialize the f32
-                # K^{-1} — emit the mirror column-panel by column-panel
-                # (each panel one (N,N)@(N,w) GEMM, cast before stacking),
-                # and derive ay/u_ones from Linv directly.  This is what
-                # fits n=32k+ on a 16 GB chip: peak N x N residency is
-                # L + Linv + the low-precision mirror (~2.5 N^2 bytes).
-                w = next(d for d in range(min(1024, N), 0, -1)
-                         if N % d == 0)
-
-                def body(_, i):
-                    cols = jax.lax.dynamic_slice(Linv, (0, i * w), (N, w))
-                    panel = jnp.dot(Linv.T, cols,
-                                    preferred_element_type=gp.x.dtype,
-                                    precision=jax.lax.Precision.HIGHEST)
-                    # emit the panel TRANSPOSED: K^{-1} is symmetric, so
-                    # column panels transposed are row panels — the stacked
-                    # scan output reshapes straight to (N, N) with no
-                    # full-size transpose pass (which would hold a second
-                    # mirror-sized temp at the peak of the build)
-                    return None, panel.T.astype(qdtype)
-
-                _, panels = jax.lax.scan(body, None, jnp.arange(N // w))
-                mirror = jnp.reshape(panels, (N, N))
+                # K^{-1} — see _mirror_from_linv; ay/u_ones derive from
+                # Linv directly.
+                mirror = _mirror_from_linv(Linv, qdtype)
                 mask = gp.mask
                 rhs = jnp.concatenate([gp.y * mask[:, None],
                                        mask[:, None]], axis=1)
@@ -451,11 +462,7 @@ class QueryCache:
             Kinv = jnp.dot(Linv.T, Linv, preferred_element_type=gp.x.dtype,
                            precision=jax.lax.Precision.HIGHEST)
             return _finish(Kinv, Linv)
-        # the panel width must DIVIDE N: dynamic_slice clamps out-of-range
-        # starts, so a ragged last panel would silently duplicate earlier
-        # rows into the tail of Linv^T (garbage inverse).  Largest divisor
-        # of N not exceeding the requested block:
-        block = next(d for d in range(min(block, N), 0, -1) if N % d == 0)
+        block = _panel_width(N, block)
         nb = N // block
         eye = jnp.eye(N, dtype=gp.x.dtype)
 
@@ -844,14 +851,12 @@ def _add_sample_deferred(gp: GP, cache: QueryCache, x_new, y_new,
                 # quantization step and get absorbed (measured: a bf16
                 # in-place flush leaves the mirror stale and posterior
                 # variance off by O(prior)).  Rebuild exactly from the
-                # maintained Linv instead — O(N^2 m_panel) GEMM flops on
-                # the MXU; size defer_m large (the pending-P query
-                # correction costs N x m bytes per step, so m of 128-512
-                # is nearly free) to amortize.
-                mirror = jnp.dot(
-                    Linv.T, Linv, preferred_element_type=dtype,
-                    precision=jax.lax.Precision.HIGHEST).astype(
-                        cache.Kinv_q.dtype)
+                # maintained Linv instead, panel by panel (no f32 N x N
+                # temp — the flush can fire inside the jitted bo_iter at
+                # the memory frontier); size defer_m large (the pending-P
+                # query correction costs N x m bytes per step, so m of
+                # 128-512 is nearly free) to amortize the O(N^3) GEMMs.
+                mirror = _mirror_from_linv(Linv, cache.Kinv_q.dtype)
             # ay/u_ones re-derive from the maintained Linv (exact, two
             # (N,N)@(N,k) passes)
             z = jnp.dot(Linv, rhs, preferred_element_type=dtype)

@@ -35,8 +35,6 @@ from limbo_tpu.kernels.base import effective_jitter
 from limbo_tpu.means.means import (ConstantMean, DataMean, NullMean,
                                    prepare_mean)
 from limbo_tpu.models import gp as gp_mod
-from limbo_tpu.opt.base import OptResult
-
 
 # ---------------------------------------------------------------------------
 # sharded symmetric quadratic form (the hot read)
@@ -86,20 +84,12 @@ _sharded_sym_quad.defvjp(_sharded_sym_quad_fwd, _sharded_sym_quad_bwd)
 # the sharded cached-GP view (duck-typed model for the acquisition layer)
 # ---------------------------------------------------------------------------
 
-@struct.dataclass
-class ShardColsGPView:
-    """Per-device view of (GP, QueryCache) with K^{-1} column-sharded.
+class GPSurfaceFwd:
+    """Property-forwarding mixin: the read-only GP surface the acquisition
+    layer reads (kernel/mean/x/y/n/mask/capacity/dims), delegated to a
+    `gp` field.  Shared by every per-device view so the surface is defined
+    once (adding a field = one edit, not one per view class)."""
 
-    Valid only inside a shard_map over `axis`; models.dispatch.query_any
-    routes it through sharded_query_cached, so the whole acquisition layer
-    (UCB/GP-UCB/EI, RandomRestarts, Rprop ascent) works unchanged on it.
-    """
-
-    gp: gp_mod.GP                      # replicated
-    cache: gp_mod.QueryCache           # Kinv/Kinv_q hold LOCAL column panels
-    axis: str = struct.field(pytree_node=False, default="cols")
-
-    # duck-typed GP surface used by acquisitions
     @property
     def kernel(self):
         return self.gp.kernel
@@ -135,6 +125,20 @@ class ShardColsGPView:
     @property
     def dim_out(self):
         return self.gp.dim_out
+
+
+@struct.dataclass
+class ShardColsGPView(GPSurfaceFwd):
+    """Per-device view of (GP, QueryCache) with K^{-1} column-sharded.
+
+    Valid only inside a shard_map over `axis`; models.dispatch.query_any
+    routes it through sharded_query_cached, so the whole acquisition layer
+    (UCB/GP-UCB/EI, RandomRestarts, Rprop ascent) works unchanged on it.
+    """
+
+    gp: gp_mod.GP                      # replicated
+    cache: gp_mod.QueryCache           # Kinv/Kinv_q hold LOCAL column panels
+    axis: str = struct.field(pytree_node=False, default="cols")
 
 
 def sharded_query_cached(view: ShardColsGPView, Xq: jax.Array):
@@ -182,6 +186,10 @@ def sharded_add_deferred(view: ShardColsGPView, x_new: jax.Array,
     if cache.Linv is None or cache.P is None:
         raise ValueError("sharded deferred updates need "
                          "QueryCache.build(with_Linv=True, defer_m > 0)")
+    if cache.Kinv is None:
+        raise ValueError("sharded deferred updates need the f32 K^{-1} "
+                         "master (lite caches are not supported on this "
+                         "path — see parallel.sharded_big)")
     if not isinstance(gp.mean, (NullMean, ConstantMean, DataMean)):
         raise ValueError("deferred updates support constant-type means only")
     from limbo_tpu.ops.trimv import trimv
@@ -280,8 +288,15 @@ def shard_cache_cols(mesh: Mesh, cache: gp_mod.QueryCache,
     """Place a QueryCache on the mesh with K^{-1}/mirror column-sharded."""
     ax = axis if axis is not None else mesh.axis_names[0]
     n_dev = mesh.shape[ax]
-    assert cache.Kinv.shape[1] % n_dev == 0, \
-        f"capacity {cache.Kinv.shape[1]} not divisible by mesh axis {n_dev}"
+    if cache.Kinv is None:
+        raise ValueError(
+            "lite caches (Kinv=None) cannot be column-sharded here — use "
+            "parallel.sharded_big (which shards the factor too) or build "
+            "the cache without lite=True")
+    if cache.Kinv.shape[1] % n_dev != 0:
+        raise ValueError(
+            f"capacity {cache.Kinv.shape[1]} not divisible by mesh axis "
+            f"{n_dev} (pad the capacity)")
     specs = cache_specs(ax, cache)
     return jax.tree.map(
         lambda v, sp: (None if v is None

@@ -17,8 +17,9 @@ which NO N x N buffer ever materializes on a single device:
     deferred rank-m flush locally.
 
 Memory per device: L (N^2/D) + Kinv panel (N^2/D in the mirror dtype) +
-O(N) vectors — an 8-device v5e slice holds n ~ 100k where one chip tops
-out near 32k (see docs/BENCHMARKS.md).
+O(N) vectors, with build/flush transients bounded by the solve strip width
+(3 x N x strip words, strip <= 2048) — an 8-device v5e slice holds
+n ~ 100k where one chip tops out near 32k (see docs/BENCHMARKS.md).
 
 No reference counterpart (limbo is single-process shared-memory,
 SURVEY.md section 2.4).
@@ -26,7 +27,7 @@ SURVEY.md section 2.4).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +37,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from limbo_tpu.kernels.base import effective_jitter
 from limbo_tpu.means.means import (ConstantMean, DataMean, NullMean,
                                    prepare_mean)
-from limbo_tpu.parallel.sharded_acq import ShardColsGPView, _sharded_sym_quad
+from limbo_tpu.parallel.sharded_acq import GPSurfaceFwd, _sharded_sym_quad
 from limbo_tpu.parallel.sharded_chol import ShardedGP, _owner_extract
 
 
@@ -132,6 +133,36 @@ def _dist_cho_solve(L_loc, L11invs, C, row0, rows_loc: int, N: int,
     return a
 
 
+def _build_panels(L_loc, L11invs, row0, rows_loc: int, N: int, block: int,
+                  axis: str, nloc: int, qd, strip: int = 2048) -> jax.Array:
+    """This device's (N, N/D) column panel of K^{-1}, solved from the
+    row-sharded factor in column STRIPS of width <= `strip` — the identity
+    RHS and the solve's w/a temporaries are (N, strip), so the build's
+    transient footprint is a small multiple of the strip width instead of
+    another full panel (3 x N x strip words vs 3 x N x N/D).
+
+    All devices cooperate on every strip (the distributed solve needs the
+    whole factor); only the strip's owner keeps the result.
+    """
+    from limbo_tpu.models.gp import _panel_width
+
+    me = jax.lax.axis_index(axis)
+    n_dev = N // nloc
+    w_s = _panel_width(nloc, strip)
+    dtype = L_loc.dtype
+    Kq_loc = jnp.zeros((N, nloc), qd)
+    for pnl in range(n_dev):
+        for s0 in range(0, nloc, w_s):
+            cols = pnl * nloc + s0 + jnp.arange(w_s)
+            E = (jnp.arange(N)[:, None] == cols[None, :]).astype(dtype)
+            a = _dist_cho_solve(L_loc, L11invs, E, row0, rows_loc, N,
+                                block, axis)
+            cur = jax.lax.dynamic_slice(Kq_loc, (0, s0), (N, w_s))
+            Kq_loc = jax.lax.dynamic_update_slice(
+                Kq_loc, jnp.where(me == pnl, a.astype(qd), cur), (0, s0))
+    return Kq_loc
+
+
 def sharded_cache_from_fit(mesh: Mesh, sgp: ShardedGP,
                            qdtype=None, defer_m: int = 64) -> BigGP:
     """Build the column-sharded K^{-1} mirror straight from the row-sharded
@@ -148,19 +179,12 @@ def sharded_cache_from_fit(mesh: Mesh, sgp: ShardedGP,
     block = sgp.block
     rows_loc = N // n_dev
     nloc = N // n_dev
-    dtype = sgp.x.dtype
-    qd = qdtype if qdtype is not None else dtype
+    qd = qdtype if qdtype is not None else sgp.x.dtype
 
     def body(L_loc, L11invs, yx):
         row0 = jax.lax.axis_index(axis) * rows_loc
-        me = jax.lax.axis_index(axis)
-        Kq_loc = jnp.zeros((N, nloc), qd)
-        for pnl in range(n_dev):
-            cols = pnl * nloc + jnp.arange(nloc)
-            E = (jnp.arange(N)[:, None] == cols[None, :]).astype(dtype)
-            a = _dist_cho_solve(L_loc, L11invs, E, row0, rows_loc, N,
-                                block, axis)
-            Kq_loc = jnp.where(me == pnl, a.astype(qd), Kq_loc)
+        Kq_loc = _build_panels(L_loc, L11invs, row0, rows_loc, N, block,
+                               axis, nloc, qd)
         # ay/u_ones from one more distributed solve (exact)
         av = _dist_cho_solve(L_loc, L11invs, yx, row0, rows_loc, N,
                              block, axis)
@@ -186,54 +210,19 @@ def sharded_cache_from_fit(mesh: Mesh, sgp: ShardedGP,
 # ---------------------------------------------------------------------------
 
 @struct.dataclass
-class _BigLocalView:
+class _BigLocalView(GPSurfaceFwd):
     """Duck-typed (gp, cache)-like pair for the acquisition layer, built
-    from a BigGP's per-device shards inside shard_map."""
+    from a BigGP's per-device shards inside shard_map (the GP surface
+    forwards through the shared GPSurfaceFwd mixin)."""
 
-    big: BigGP             # leaves are LOCAL shards here
+    gp: BigGP              # leaves are LOCAL shards here
     axis: str = struct.field(pytree_node=False, default="rows")
-
-    @property
-    def kernel(self):
-        return self.big.kernel
-
-    @property
-    def mean(self):
-        return self.big.mean
-
-    @property
-    def x(self):
-        return self.big.x
-
-    @property
-    def y(self):
-        return self.big.y
-
-    @property
-    def n(self):
-        return self.big.n
-
-    @property
-    def mask(self):
-        return self.big.mask
-
-    @property
-    def capacity(self):
-        return self.big.capacity
-
-    @property
-    def dim_in(self):
-        return self.big.dim_in
-
-    @property
-    def dim_out(self):
-        return self.big.dim_out
 
 
 def big_query(view: _BigLocalView, Xq: jax.Array):
     """Posterior (mu, var) through the column-sharded mirror + pending
     pivots (the sharded_acq quadratic form against BigGP state)."""
-    big = view.big
+    big = view.gp
     Xq = jnp.atleast_2d(Xq).astype(big.x.dtype)
     mask = big.mask
     ks = big.kernel.gram(Xq, big.x) * mask[None, :]
@@ -351,22 +340,33 @@ def _big_add(big: BigGP, x_new: jax.Array, y_new: jax.Array,
     cols = off + jnp.arange(nloc)
 
     def flush(_):
-        pend_loc = ((cols >= big.base_n) & (cols <= i)).astype(dtype)
+        rhs = jnp.concatenate([ym, mask2[:, None]], axis=1)
         zero = jnp.zeros((), off.dtype)
+        if big.Kq.dtype != dtype:
+            # low-precision panels: an in-place add is INVALID (the
+            # correction's entries sit below the mirror's quantization
+            # step and are silently absorbed — same measured failure as
+            # the single-device lite cache).  Rebuild this device's panel
+            # exactly from the just-updated row-sharded factor, and
+            # re-derive ay/u_ones by an exact distributed solve.  Size
+            # defer_m large: this flush costs a full cache build.
+            Kq_loc = _build_panels(L_new, L11invs_new, row0, rows_loc, N,
+                                   block, axis, nloc, big.Kq.dtype)
+            av = _dist_cho_solve(L_new, L11invs_new, rhs, row0, rows_loc,
+                                 N, block, axis)
+            return (Kq_loc, jnp.zeros_like(Pbuf),
+                    (i + 1).astype(big.base_n.dtype),
+                    av[:, :-1], av[:, -1])
+        pend_loc = ((cols >= big.base_n) & (cols <= i)).astype(dtype)
         P_rows = jax.lax.dynamic_slice(Pbuf, (off, zero), (nloc, m))
         corr = (jnp.dot(Pbuf, P_rows.T, preferred_element_type=dtype)
                 - jnp.where(jnp.arange(N)[:, None] == cols[None, :],
                             pend_loc[None, :], 0.0))
-        Kq_loc = (big.Kq.astype(dtype) + corr).astype(big.Kq.dtype) \
-            if big.Kq.dtype != dtype else big.Kq + corr
-        # NOTE: like the lite cache, a low-precision mirror absorbs small
-        # corrections; size defer_m near the refresh cadence for bf16.
-        rhs = jnp.concatenate([ym, mask2[:, None]], axis=1)
+        Kq_loc = big.Kq + corr
         rhs_loc = jax.lax.dynamic_slice(rhs, (off, zero),
                                         (nloc, rhs.shape[1]))
         a = jax.lax.psum(
-            jnp.dot(Kq_loc.astype(dtype), rhs_loc,
-                    preferred_element_type=dtype), axis)
+            jnp.dot(Kq_loc, rhs_loc, preferred_element_type=dtype), axis)
         return (Kq_loc, jnp.zeros_like(Pbuf),
                 (i + 1).astype(big.base_n.dtype), a[:, :-1], a[:, -1])
 
@@ -396,7 +396,7 @@ def make_big_bo_iter(mesh: Mesh, f: Callable, acqui, acqui_optimizer,
 
     def body(big, key, iteration):
         axis = big.axis
-        view = _BigLocalView(big=big, axis=axis)
+        view = _BigLocalView(gp=big, axis=axis)
         f_max = (acqui.best_predicted(view, agg)
                  if isinstance(acqui, EI) else None)
 

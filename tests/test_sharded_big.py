@@ -79,7 +79,7 @@ def test_big_query_matches_single_device():
     mu_r, var_r = gp_mod.query_cached(gp, cache, Xq)
 
     def body(big, Xq):
-        return big_query(_BigLocalView(big=big, axis=big.axis), Xq)
+        return big_query(_BigLocalView(gp=big, axis=big.axis), Xq)
 
     mu_s, var_s = jax.jit(jax.shard_map(
         body, mesh=mesh, check_vma=False,
@@ -126,5 +126,47 @@ def test_big_bo_iter_matches_single_device():
     scale = float(np.max(np.abs(np.asarray(cache_r.Kinv))))
     np.testing.assert_allclose(np.asarray(big.Kq), np.asarray(cache_r.Kinv),
                                atol=1e-4 * scale)
+    np.testing.assert_allclose(np.asarray(big.alpha),
+                               np.asarray(gp_r.alpha), atol=1e-4 * scale)
+
+
+def test_big_bo_iter_bf16_panels():
+    """Low-precision (bf16) K^{-1} panels: flushes REBUILD the panels from
+    the maintained factor (an in-place bf16 add would absorb the
+    correction — same failure mode as the single-device lite cache) and
+    re-derive ay/u_ones exactly.  State stays at bf16-quantization distance
+    from the exact single-device posterior across a flush."""
+    import functools
+
+    from limbo_tpu.acqui.acqui import UCB
+    from limbo_tpu.opt.compose import RandomRestarts
+    from limbo_tpu.opt.gradient import Rprop
+
+    mesh = make_mesh(8, axis_name="rows")
+    big, gp_r, cache_r = make_big(mesh, defer_m=4, qdtype=jnp.bfloat16)
+    opt = RandomRestarts(sub=Rprop(iterations=8), repeats=3,
+                         sweep_samples=16)
+    acqui = UCB(alpha=0.5)
+
+    def f(x):
+        return jnp.sin(3.0 * jnp.sum(x))[None]
+
+    iter_fn = jax.jit(make_big_bo_iter(mesh, f, acqui, opt))
+    ref_add = jax.jit(functools.partial(gp_mod.add_sample_cached,
+                                        fast_update="deferred"))
+    key = jax.random.PRNGKey(7)
+    for it in range(5):                       # crosses the m=4 flush
+        key, k = jax.random.split(key)
+        big, x_s, y_s = iter_fn(big, k, jnp.asarray(it))
+        assert np.all(np.isfinite(np.asarray(x_s)))
+        gp_r, cache_r = ref_add(gp_r, cache_r, x_s, y_s)
+    assert int(big.base_n) == int(cache_r.base_n)   # both flushed once
+    # panels match the exact f32 master to bf16 quantization
+    scale = float(np.max(np.abs(np.asarray(cache_r.Kinv))))
+    np.testing.assert_allclose(
+        np.asarray(big.Kq.astype(jnp.float32)), np.asarray(cache_r.Kinv),
+        atol=2.5e-3 * scale)   # 2^-9 + solve round-off
+    # ay/alpha re-derived exactly at the flush (not from the quantized
+    # mirror): they track the f32 reference, not bf16
     np.testing.assert_allclose(np.asarray(big.alpha),
                                np.asarray(gp_r.alpha), atol=1e-4 * scale)
