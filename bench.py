@@ -122,6 +122,10 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
         gp, cache = bo_iter(gp, cache, k)
     float(gp.n)                           # sync the chain
     dt = (time.perf_counter() - t0) / iters
+    # numerics validity guard: a NaN factor times exactly like a real one
+    assert bool(jnp.all(jnp.isfinite(gp.L))
+                and jnp.all(jnp.isfinite(gp.alpha))), \
+        "bench state went non-finite — timings would be invalid"
     return 1.0 / dt
 
 
