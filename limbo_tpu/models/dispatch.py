@@ -21,15 +21,12 @@ def query_any(model, Xq: jax.Array) -> Tuple[jax.Array, jax.Array]:
         return gp_mod.query(model, Xq)
     if isinstance(model, gp_mod.CachedGPView):
         return gp_mod.query_cached(model.gp, model.cache, Xq)
-    # avoid importing the parallel layer unless a sharded view shows up
-    if type(model).__name__ == "ShardColsGPView":
-        from limbo_tpu.parallel.sharded_acq import sharded_query_cached
-
-        return sharded_query_cached(model, Xq)
-    if type(model).__name__ == "_BigLocalView":
-        from limbo_tpu.parallel.sharded_big import big_query
-
-        return big_query(model, Xq)
+    # sharded per-device views carry their query as a protocol method
+    # (keeps the parallel layer unimported here, and renames fail loudly
+    # at the view class instead of silently falling through a name check)
+    query_posterior = getattr(model, "query_posterior", None)
+    if query_posterior is not None:
+        return query_posterior(Xq)
     if isinstance(model, sparse_gp.SparsifiedGP):
         return gp_mod.query(model.gp, Xq)
     if isinstance(model, spgp.SPGP):

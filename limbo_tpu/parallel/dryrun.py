@@ -123,6 +123,34 @@ def run_dryrun(n_devices: int) -> None:
     assert int(gp_c.n) == n + 1
     assert bool(jnp.all(jnp.isfinite(x_c)))
 
+    # ---- beyond-one-chip BO (parallel/sharded_big.py): row-sharded factor
+    # -> column-sharded K^{-1} panels -> one full BO iteration with the
+    # distributed-solve append, under one shard_map.  This is the flagship
+    # large-n composition; the driver artifact must exercise it. ----
+    from limbo_tpu.parallel.sharded_big import (make_big_bo_iter,
+                                                sharded_cache_from_fit)
+
+    blk_b = 4
+    Nb = blk_b * n_devices
+    mesh_b = make_mesh(n_devices, axis_name="rows")
+    nb_fit = min(n, Nb - 2)
+    Xb = jnp.zeros((Nb, d), jnp.float32).at[:nb_fit].set(X[:nb_fit])
+    Yb = jnp.zeros((Nb, 1), jnp.float32).at[:nb_fit].set(Y[:nb_fit])
+    sgp_b = sharded_fit(mesh_b, kernel,
+                        DataMean.create(dim_out=1, dtype=jnp.float32),
+                        Xb, Yb, n=jnp.asarray(nb_fit), block=blk_b,
+                        axis="rows")
+    big = sharded_cache_from_fit(mesh_b, sgp_b, defer_m=4)
+    iter_b = jax.jit(make_big_bo_iter(
+        mesh_b, lambda x: jnp.sin(jnp.sum(x))[None], acqui,
+        RandomRestarts(sub=Rprop(iterations=5), repeats=4,
+                       sweep_samples=16)))
+    big, x_b, y_b = iter_b(big, kstep, jnp.asarray(0))
+    jax.block_until_ready((big.L, big.Kq, x_b))
+    assert int(big.n) == nb_fit + 1
+    assert bool(jnp.all(jnp.isfinite(x_b)))
+    assert bool(jnp.all(jnp.isfinite(big.Kq)))
+
     # ---- 2-D mesh (restarts x rows): candidate fan-out on one axis with
     # row-sharded posterior means + psum on the other, in ONE program ----
     if n_devices >= 4 and n_devices % 2 == 0:

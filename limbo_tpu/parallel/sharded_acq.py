@@ -140,6 +140,12 @@ class ShardColsGPView(GPSurfaceFwd):
     cache: gp_mod.QueryCache           # Kinv/Kinv_q hold LOCAL column panels
     axis: str = struct.field(pytree_node=False, default="cols")
 
+    def query_posterior(self, Xq: jax.Array):
+        """Model-protocol hook read by models.dispatch.query_any — keeps
+        the dispatch free of type-name strings (renames fail at the call
+        site, not silently at dispatch)."""
+        return sharded_query_cached(self, Xq)
+
 
 def sharded_query_cached(view: ShardColsGPView, Xq: jax.Array):
     """query_cached with the variance quadratic form column-sharded.

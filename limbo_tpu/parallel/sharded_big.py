@@ -199,7 +199,7 @@ def sharded_cache_from_fit(mesh: Mesh, sgp: ShardedGP,
     Kq, av = shard(sgp.L, sgp.L11invs, rhs)
     return BigGP(kernel=sgp.kernel, mean=sgp.mean, x=sgp.x, y=sgp.y,
                  n=sgp.n, L=sgp.L, L11invs=sgp.L11invs, alpha=sgp.alpha,
-                 Kq=Kq, P=jnp.zeros((N, defer_m), dtype),
+                 Kq=Kq, P=jnp.zeros((N, defer_m), sgp.x.dtype),
                  base_n=sgp.n.astype(jnp.int32),
                  ay=av[:, :-1], u_ones=av[:, -1],
                  block=sgp.block, axis=sgp.axis)
@@ -217,6 +217,10 @@ class _BigLocalView(GPSurfaceFwd):
 
     gp: BigGP              # leaves are LOCAL shards here
     axis: str = struct.field(pytree_node=False, default="rows")
+
+    def query_posterior(self, Xq: jax.Array):
+        """Model-protocol hook read by models.dispatch.query_any."""
+        return big_query(self, Xq)
 
 
 def big_query(view: _BigLocalView, Xq: jax.Array):
