@@ -39,6 +39,15 @@ def joint_posterior(gp, Xb: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return mu, cov
 
 
+def joint_posterior_multi(m, Xb: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Joint posterior of a (q, d) batch under a MultiGP: mean (q, p) and
+    per-objective covariance (p, q, q) — objectives are independent GPs
+    (limbo bo_multi.hpp:153), so the joint law is p separate (q, q)
+    Gaussians.  Feeds ops.ehvi.qehvi_exact_max."""
+    mus, covs = jax.vmap(lambda g: joint_posterior(g, Xb))(m.gps)
+    return mus.T + m.mean(jnp.atleast_2d(Xb)), covs
+
+
 @struct.dataclass
 class QEI:
     """Monte-Carlo q-EI with reparameterized base samples.

@@ -136,11 +136,18 @@ class Ehvi(BoMulti):
     reference's O(n^3) slice-update scheme (src/ehvi/ehvi_sliceupdate.cc)."""
 
     def __init__(self, ref: Sequence[float] = (0.0, 0.0),
-                 inner_opt=None, **kw):
+                 inner_opt=None, q: int = 1, gh_nodes: int = 12, **kw):
         super().__init__(n_objs=len(ref), **kw)
         self.ref = np.asarray(ref, dtype=np.float64)
         self.inner_opt = (inner_opt if inner_opt is not None
                           else Rprop(iterations=50))
+        # q > 1: propose a q-point batch per iteration by jointly maximizing
+        # the EXACT q-EHVI (ops/ehvi.qehvi_exact_max — inclusion-exclusion
+        # over the box decomposition with the true joint posterior
+        # covariance; ≙ the exact-batch capability of src/ehvi/ehvi_multi.cc
+        # extended to joint batches).  Intended for q <= 4.
+        self.q = int(q)
+        self.gh_nodes = int(gh_nodes)
         self._step_jit = None
 
     def _build_step(self, front_size: int):
@@ -164,13 +171,46 @@ class Ehvi(BoMulti):
 
         return step
 
+    def _build_step_batch(self, dim: int):
+        """One seeded multi-start joint ascent over the (q, d) batch on the
+        exact q-EHVI.  Seeds: each front point tiled to q jittered copies."""
+        from limbo_tpu.acqui.qei import joint_posterior_multi
+        from limbo_tpu.ops.ehvi import qehvi_exact_max
+
+        inner = self.inner_opt
+        ref = jnp.asarray(self.ref, dtype=self.dtype)
+        q, gh = self.q, self.gh_nodes
+
+        @jax.jit
+        def step(model, front_y, front_x, front_mask, key):
+            def acq(flat):
+                Xb = jnp.reshape(flat, (q, dim))
+                mu, cov = joint_posterior_multi(model, Xb)
+                return qehvi_exact_max(mu, cov, front_y, ref,
+                                       front_mask=front_mask, gh_nodes=gh)
+
+            k_jit, k_run = jax.random.split(key)
+            seeds = jnp.tile(front_x[:, None, :], (1, q, 1))
+            seeds = jnp.clip(
+                seeds + 0.1 * jax.random.normal(
+                    k_jit, seeds.shape, dtype=front_x.dtype), 0.0, 1.0)
+            seeds = seeds.reshape(front_x.shape[0], q * dim)
+            keys = jax.random.split(k_run, seeds.shape[0])
+            res = jax.vmap(lambda x0, k: inner(acq, x0, k, True))(seeds, keys)
+            value = jnp.where(front_mask > 0, res.value, -jnp.inf)
+            i = jnp.argmax(value)
+            return jnp.reshape(res.x[i], (q, dim)), value[i]
+
+        return step
+
     def optimize(self, f: Callable, dim: int, key=None, reset: bool = True):
         key = key if key is not None else jax.random.PRNGKey(0)
         if reset:
             self.X, self.Y, self.iteration = [], [], 0
             key, k0 = jax.random.split(key)
             self._init_design(f, dim, k0)
-        cap = max(64, -(-(len(self.X) + self._max_iters()) // 64) * 64)
+        cap = max(64, -(-(len(self.X) + self._max_iters() * self.q)
+                        // 64) * 64)
         FRONT_CAP = 64
         while not self._stopped():
             key, k_step = jax.random.split(key)
@@ -188,13 +228,20 @@ class Ehvi(BoMulti):
             fy = np.full((FRONT_CAP, self.n_objs), self.ref); fy[:k] = Yp[:k]
             fm = np.zeros(FRONT_CAP); fm[:k] = 1.0
             if self._step_jit is None:
-                self._step_jit = self._build_step(FRONT_CAP)
+                self._step_jit = (self._build_step(FRONT_CAP)
+                                  if self.q == 1
+                                  else self._build_step_batch(dim))
             x_new, hv = self._step_jit(
                 self.model, jnp.asarray(fy, dtype=self.dtype),
                 jnp.asarray(fx, dtype=self.dtype),
                 jnp.asarray(fm, dtype=self.dtype), k_step)
             x_new = np.asarray(x_new)
-            self.add_sample(x_new, self._eval_checked(f, x_new))
+            if self.q == 1:
+                self.add_sample(x_new, self._eval_checked(f, x_new))
+            else:
+                for j in range(self.q):
+                    self.add_sample(x_new[j],
+                                    self._eval_checked(f, x_new[j]))
             self.iteration += 1
             self._update_stats()
         self.update_models(capacity=cap)

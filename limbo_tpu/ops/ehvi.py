@@ -225,6 +225,109 @@ def ehvi_max(mu: jax.Array, sigma: jax.Array, front: jax.Array,
     return ehvi_boxes_min(-mu, sigma, lower, upper)
 
 
+def ehvi_max_batch(mus: jax.Array, sigmas: jax.Array, front: jax.Array,
+                   ref: jax.Array, front_mask: Optional[jax.Array] = None
+                   ) -> jax.Array:
+    """Exact EHVI of a whole candidate population at once (maximization).
+
+    ≙ src/ehvi/ehvi_multi.cc:13,100 (ehvi3d_5term / ehvi3d_sliceupdate over
+    a vector of Gaussian PDFs): the reference amortizes ONE box/slice sweep
+    of the front across many candidate distributions; here the shared box
+    decomposition is computed once and the per-candidate separable factors
+    are one vmapped fused program — (q, boxes, p) elementwise + two
+    reductions, instead of a scalar triple loop per population.
+
+    mus, sigmas: (q, p) per-candidate marginal posteriors.  Returns (q,).
+    """
+    lower, upper = nondominated_boxes(-front, -jnp.asarray(ref), front_mask)
+    return jax.vmap(lambda m, s: ehvi_boxes_min(-m, s, lower, upper))(
+        mus, sigmas)
+
+
+def _gh_grid(r: int, n_nodes: int, dtype):
+    """Tensor Gauss-Hermite grid for r standard-normal dims:
+    eps (n_nodes^r, r) and weights (n_nodes^r,) with sum(w) = 1."""
+    import numpy as np
+
+    x, w = np.polynomial.hermite.hermgauss(n_nodes)
+    eps1 = jnp.asarray(x * math.sqrt(2.0), dtype)       # N(0,1) nodes
+    w1 = jnp.asarray(w / math.sqrt(math.pi), dtype)
+    eps = jnp.stack(jnp.meshgrid(*([eps1] * r), indexing="ij"),
+                    axis=-1).reshape(-1, r)
+    wts = jnp.prod(jnp.stack(jnp.meshgrid(*([w1] * r), indexing="ij"),
+                             axis=-1).reshape(-1, r), axis=-1)
+    return eps, wts
+
+
+def _g_max_interval(l, u, mu_S, cov_S, gh_nodes: int):
+    """E[(u - max(l, max_j z_j))^+] for z_S ~ N(mu_S, cov_S), elementwise
+    over box bounds l, u (any broadcastable shape).
+
+    |S| = 1 is the closed form `_psi_interval`; |S| >= 2 conditions the
+    last variable on the first |S|-1 through the covariance Cholesky and
+    integrates them with tensor Gauss-Hermite — exact up to quadrature,
+    with the TRUE joint correlation (the coupling qEHVI's MC estimator
+    usually eats as variance).
+    """
+    r = mu_S.shape[0]
+    if r == 1:
+        return _psi_interval(l, u, mu_S[0], jnp.sqrt(cov_S[0, 0]))
+    C = jnp.linalg.cholesky(
+        cov_S + 1e-10 * jnp.trace(cov_S) * jnp.eye(r, dtype=cov_S.dtype))
+    eps, w = _gh_grid(r - 1, gh_nodes, mu_S.dtype)       # (G, r-1), (G,)
+    z_head = mu_S[:r - 1] + eps @ C[:r - 1, :r - 1].T    # (G, r-1)
+    z_max = jnp.max(z_head, axis=-1)                     # (G,)
+    m_cond = mu_S[r - 1] + eps @ C[r - 1, :r - 1]        # (G,)
+    s_cond = jnp.maximum(C[r - 1, r - 1], 1e-12)
+    a = jnp.minimum(jnp.maximum(l[..., None], z_max), u[..., None])
+    vals = _psi_interval(a, u[..., None], m_cond, s_cond)
+    return jnp.sum(w * vals, axis=-1)
+
+
+def qehvi_exact_max(mu: jax.Array, cov: jax.Array, front: jax.Array,
+                    ref: jax.Array, front_mask: Optional[jax.Array] = None,
+                    gh_nodes: int = 24) -> jax.Array:
+    """Exact joint q-EHVI (maximization): expected hypervolume improvement
+    of a q-candidate batch under the JOINT Gaussian posterior.
+
+    mu: (q, p) posterior means; cov: (p, q, q) per-objective joint
+    covariance of the q candidates (objectives independent — one GP per
+    objective, limbo bo_multi.hpp:153; use acqui.qei.joint_posterior per
+    output for the covariances).
+
+    E[vol(U_j boxes improved by y_j)] by inclusion-exclusion over candidate
+    subsets S on the shared box decomposition: per box and objective m the
+    subset factor is E[(u_m - max(l_m, max_{j in S} z_jm))^+] — closed form
+    for |S| = 1, Gauss-Hermite-conditioned for |S| >= 2 (exact up to
+    quadrature; q = 1 reduces identically to `ehvi_max`).  Subset count is
+    2^q - 1 and the GH grid is gh_nodes^(|S|-1): intended for q <= 4 (the
+    reference's batch sizes); keep `qehvi_mc_max` for larger q.
+
+    This is the exact counterpart of src/ehvi/ehvi_multi.cc's capability
+    extended to joint batches; the MC estimator in `qehvi_mc_max` remains
+    the any-q fallback.
+    """
+    import itertools
+
+    q, p = mu.shape
+    lower, upper = nondominated_boxes(-front, -jnp.asarray(ref), front_mask)
+    mu_min = -mu                                          # minimization
+    total = jnp.zeros((), mu.dtype)
+    for r in range(1, q + 1):
+        sign = 1.0 if (r % 2 == 1) else -1.0
+        for S in itertools.combinations(range(q), r):
+            idx = jnp.asarray(S)
+            factors = []
+            for m in range(p):
+                mu_S = mu_min[idx, m]
+                cov_S = cov[m][idx[:, None], idx[None, :]]
+                g = _g_max_interval(lower[:, m], upper[:, m], mu_S, cov_S,
+                                    gh_nodes)
+                factors.append(jnp.maximum(g, 0.0))
+            total = total + sign * jnp.sum(jnp.prod(jnp.stack(factors), 0))
+    return total
+
+
 def qehvi_mc_max(Y_samples: jax.Array, front: jax.Array, ref: jax.Array,
                  front_mask: Optional[jax.Array] = None) -> jax.Array:
     """q-point batch EHVI by Monte Carlo over JOINT posterior samples
