@@ -13,9 +13,11 @@ from limbo_tpu.bo.optimizer import (
 )
 from limbo_tpu.bo.stop import MaxIterations, MaxPredictedValue
 from limbo_tpu.bo import stats
+from limbo_tpu.bo.distributed import DistributedBOptimizer
 
 __all__ = [
     "BOptimizer", "BOState", "EvaluationError", "default_acqui_optimizer",
+    "DistributedBOptimizer",
     "RandomSampling", "RandomSamplingGrid", "GridSampling", "LHS", "NoInit",
     "MaxIterations", "MaxPredictedValue", "stats",
 ]

@@ -387,6 +387,64 @@ def _big_add(big: BigGP, x_new: jax.Array, y_new: jax.Array,
                        base_n=base_n, ay=ay, u_ones=u_ones)
 
 
+def _acq_closure(big: BigGP, acqui, agg, iteration):
+    """Per-device acquisition callable over the local BigGP view (shared by
+    the fused iterate and the propose-only step)."""
+    from limbo_tpu.acqui.acqui import EI
+
+    view = _BigLocalView(gp=big, axis=big.axis)
+    f_max = (acqui.best_predicted(view, agg)
+             if isinstance(acqui, EI) else None)
+
+    def acq_fn(xc):
+        if isinstance(acqui, EI):
+            return acqui(view, xc, agg, iteration, f_max=f_max)
+        return acqui(view, xc, agg, iteration)
+
+    return acq_fn
+
+
+def make_big_propose(mesh: Mesh, acqui, acqui_optimizer, aggregator=None,
+                     bounded: bool = True) -> Callable:
+    """Acquisition-only step for HOST-evaluated objectives:
+    propose(big, key, iteration) -> (x, acq_value).  Pairs with
+    make_big_add for the ask/tell flow (bo.distributed.DistributedBOptimizer);
+    use make_big_bo_iter when the objective is jittable on-device."""
+    from limbo_tpu.acqui.acqui import FirstElem
+    agg = aggregator if aggregator is not None else FirstElem
+
+    def body(big, key, iteration):
+        acq_fn = _acq_closure(big, acqui, agg, iteration)
+        start = jnp.full((big.dim_in,), 0.5, dtype=big.x.dtype)
+        res = acqui_optimizer(acq_fn, start, key, bounded)
+        return res.x, res.value
+
+    def run(big, key, iteration):
+        spec = _specs(big)
+        return jax.shard_map(
+            body, mesh=mesh, check_vma=False,
+            in_specs=(spec, P(), P()), out_specs=(P(), P()))(
+                big, key, iteration)
+
+    return run
+
+
+def make_big_add(mesh: Mesh) -> Callable:
+    """Distributed append: add(big, x, y) -> big (jit with donate_argnums=0
+    so the factor/panel updates happen in place)."""
+
+    def body(big, x_new, y_new):
+        return _big_add(big, x_new, y_new, big.axis)
+
+    def run(big, x_new, y_new):
+        spec = _specs(big)
+        return jax.shard_map(
+            body, mesh=mesh, check_vma=False,
+            in_specs=(spec, P(), P()), out_specs=spec)(big, x_new, y_new)
+
+    return run
+
+
 def make_big_bo_iter(mesh: Mesh, f: Callable, acqui, acqui_optimizer,
                      aggregator=None, bounded: bool = True) -> Callable:
     """One BO iteration at beyond-one-chip n, under one shard_map:
@@ -395,24 +453,15 @@ def make_big_bo_iter(mesh: Mesh, f: Callable, acqui, acqui_optimizer,
     iter_fn(big, key, iteration) -> (big, x, y); jit with donate_argnums=0
     for in-place panel updates.
     """
-    from limbo_tpu.acqui.acqui import EI, FirstElem
+    from limbo_tpu.acqui.acqui import FirstElem
     agg = aggregator if aggregator is not None else FirstElem
 
     def body(big, key, iteration):
-        axis = big.axis
-        view = _BigLocalView(gp=big, axis=axis)
-        f_max = (acqui.best_predicted(view, agg)
-                 if isinstance(acqui, EI) else None)
-
-        def acq_fn(xc):
-            if isinstance(acqui, EI):
-                return acqui(view, xc, agg, iteration, f_max=f_max)
-            return acqui(view, xc, agg, iteration)
-
+        acq_fn = _acq_closure(big, acqui, agg, iteration)
         start = jnp.full((big.dim_in,), 0.5, dtype=big.x.dtype)
         res = acqui_optimizer(acq_fn, start, key, bounded)
         y = f(res.x).astype(big.x.dtype)
-        big = _big_add(big, res.x, y, axis)
+        big = _big_add(big, res.x, y, big.axis)
         return big, res.x, y
 
     def run(big, key, iteration):

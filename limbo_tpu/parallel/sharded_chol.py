@@ -257,7 +257,8 @@ def sharded_fit(mesh: Mesh, kernel, mean, X: jax.Array, Y: jax.Array,
     nf = n.astype(dtype)
     lml = (-0.5 * jnp.sum(centered * alpha) - 0.5 * logdet
            - 0.5 * nf * jnp.log(jnp.asarray(2.0 * jnp.pi, dtype)))
-    return ShardedGP(kernel=kernel, mean=mean, x=X, y=Y, n=n, L=L,
+    return ShardedGP(kernel=kernel, mean=mean, x=X, y=Y.astype(dtype), n=n,
+                     L=L,
                      L11invs=L11invs, alpha=alpha, logdet=logdet, lml=lml,
                      block=block, axis=axis)
 

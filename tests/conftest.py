@@ -72,6 +72,7 @@ _SMOKE = {
 # whole files whose tests are compile-bound on the 8-virtual-device mesh
 _SLOW_FILES = {
     "test_sharded_big.py",
+    "test_distributed_bo.py",
     "test_sharded_acq.py",
     "test_sharded_chol.py",
     "test_multihost.py",
