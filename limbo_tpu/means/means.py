@@ -114,7 +114,14 @@ class FunctionARD:
     tr: jax.Array  # (p, p+1)
 
     @classmethod
-    def create(cls, inner, dim_out: int = 1, dtype=jnp.float32):
+    def create(cls, inner, dim_out: int = 1, dtype=None):
+        if dtype is None:
+            # follow the inner mean's dtype: a mixed-precision T would
+            # change the pytree's dtypes under with_params (caught by the
+            # sampled combination matrix under lax.cond's type check)
+            inner_p = getattr(inner, "params", None)
+            dtype = (inner_p.dtype if inner_p is not None and inner_p.size
+                     else jnp.float32)
         tr = jnp.concatenate(
             [jnp.eye(dim_out, dtype=dtype), jnp.zeros((dim_out, 1), dtype=dtype)],
             axis=1)

@@ -148,6 +148,128 @@ def test_bo_loop_with_alt_models(model_type, options):
     assert state.best_value > -0.02
 
 
+# ---------------------------------------------------------------------------
+# Sampled full-cartesian matrix (≙ create_all_combinations_test.py:8-60):
+# the reference compiles ~1000s of slot combinations; here a seeded random
+# sample of 100 FULL products {kernel x mean x hp-opt x acqui x acqui-opt x
+# init x stop x cache-mode x loop} runs 2-3 BO iterations each, so
+# cross-slot interactions (not just one-axis variations) are exercised.
+# Declared incompatibilities are repaired deterministically, mirroring the
+# reference generator's exclusion lists.
+# ---------------------------------------------------------------------------
+
+
+def _combo_axes():
+    return dict(
+        kernel=[
+            lambda: Exp.create(dtype=F64),
+            lambda: SquaredExpARD.create(dim=2, dtype=F64),
+            lambda: SquaredExpARD.create(dim=2, rank=1, dtype=F64),
+            lambda: MaternThreeHalves.create(dtype=F64),
+            lambda: MaternFiveHalves.create(dtype=F64),
+        ],
+        mean=[
+            lambda: NullMean(),
+            lambda: ConstantMean.create(0.5, dtype=F64),
+            lambda: DataMean.create(dtype=F64),
+            lambda: FunctionARD.create(ConstantMean.create(0.5, dtype=F64)),
+        ],
+        hp=[
+            lambda: NoLFOpt(),
+            lambda: KernelLFOpt(optimizer=Rprop(iterations=10)),
+            lambda: KernelLooOpt(optimizer=Rprop(iterations=10)),
+            lambda: KernelMeanLFOpt(optimizer=Rprop(iterations=10)),
+            lambda: MeanLFOpt(optimizer=Rprop(iterations=10)),
+        ],
+        acqui=[lambda: UCB(), lambda: GP_UCB(), lambda: EI(jitter=0.01)],
+        aopt=[
+            lambda: RandomSweep(samples=64),
+            lambda: GridSearch(bins=5),
+            lambda: RandomRestarts(sub=Rprop(iterations=10), repeats=2,
+                                   sweep_samples=16),
+            lambda: ParallelRepeater(sub=Rprop(iterations=10), repeats=2),
+            lambda: Cmaes(iterations=8, pop_size=8),
+        ],
+        init=[
+            lambda: RandomSampling(4),
+            lambda: RandomSamplingGrid(samples=4, bins=4),
+            lambda: GridSampling(bins=2),
+            lambda: LHS(samples=4),
+        ],
+        stop=[
+            lambda: (MaxIterations(2),),
+            lambda: (MaxIterations(3), MaxPredictedValue(ratio=5.0)),
+        ],
+        cache=[
+            lambda: {},
+            lambda: {"use_query_cache": True},
+            lambda: {"use_query_cache": True, "cache_fast_update": "deferred",
+                     "cache_defer_m": 2},
+            lambda: {"use_query_cache": True, "cache_fast_update": "deferred",
+                     "cache_defer_m": 2, "cache_lite": True,
+                     "cache_query_dtype": jnp.bfloat16},
+        ],
+        loop=["optimize", "optimize_jit"],
+    )
+
+
+def _sample_combos(n=100, seed=813):
+    axes = _combo_axes()
+    rng = np.random.default_rng(seed)
+    combos = []
+    for _ in range(n):
+        c = {k: int(rng.integers(len(v))) for k, v in axes.items()}
+        # repair declared incompatibilities (deterministic):
+        # mean-parameter hp-opts need a parametric mean
+        if c["hp"] in (3, 4) and c["mean"] not in (1, 3):
+            c["mean"] = 1
+        # deferred/lite cached appends support constant-type means only
+        if c["cache"] in (2, 3) and c["mean"] == 3:
+            c["mean"] = 2
+        combos.append(tuple(c[k] for k in axes))
+    return list(dict.fromkeys(combos))        # drop exact duplicates
+
+
+_COMBOS = _sample_combos()
+
+
+def _combo_id(c):
+    names = ["k", "m", "hp", "a", "o", "i", "s", "c", "l"]
+    return "-".join(f"{n}{v}" for n, v in zip(names, c))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("combo", _COMBOS, ids=_combo_id)
+def test_sampled_full_product(combo):
+    axes = _combo_axes()
+    ki, mi, hi, ai, oi, ii, si, ci, li = combo
+    hp = axes["hp"][hi]()
+    kwargs = dict(
+        kernel=axes["kernel"][ki](),
+        mean=axes["mean"][mi](),
+        acqui=axes["acqui"][ai](),
+        acqui_optimizer=axes["aopt"][oi](),
+        init=axes["init"][ii](),
+        stop=axes["stop"][si](),
+        stats_enabled=False,
+        dtype=F64,
+        hp_opt=None if isinstance(hp, NoLFOpt) else hp,
+        hp_period=2,
+        **axes["cache"][ci](),
+    )
+    bo = BOptimizer(**kwargs)
+    loop = axes["loop"][li]
+    if loop == "optimize":
+        state = bo.optimize(quad, dim_in=2, key=jax.random.PRNGKey(7))
+    else:
+        state, history = bo.optimize_jit(
+            lambda x: -jnp.sum((x - 0.4) ** 2)[None], dim_in=2,
+            key=jax.random.PRNGKey(7))
+        assert bool(jnp.isfinite(history["best"][-1]))
+    n = int(state.gp.n)
+    assert n > 0 and np.all(np.isfinite(np.asarray(state.gp.x[:n])))
+
+
 def test_bo_loop_spgp_with_hp_opt():
     from limbo_tpu.bo.init_designs import RandomSampling
     from limbo_tpu.bo.optimizer import BOptimizer
