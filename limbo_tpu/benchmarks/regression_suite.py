@@ -62,7 +62,8 @@ def _cast_floats(tree, dtype):
 
 def _make_runner(fn: RegressionFunction, dim: int, n: int, spec: ModelSpec,
                  n_test: int = 2048, noise_std: float = 0.01,
-                 dtype=jnp.float32, precise: Optional[bool] = None):
+                 dtype=jnp.float32, precise: Optional[bool] = None,
+                 hp_restarts: int = 8, hp_epsilon: float = 3.0):
     bounds = fn.bounds_for_dim(dim)
     lo = jnp.asarray(bounds[:, 0], dtype=dtype)
     hi = jnp.asarray(bounds[:, 1], dtype=dtype)
@@ -84,8 +85,30 @@ def _make_runner(fn: RegressionFunction, dim: int, n: int, spec: ModelSpec,
     # matters here because the regression protocol is scored on MSE.
     precise = _x64_enabled() if precise is None else (precise
                                                      and _x64_enabled())
+    # Two-phase hp-opt:
+    #
+    # 1. Vmapped f32 multi-start (restarts are a FREE batch axis on TPU —
+    #    ≙ wrapping the reference's Rprop in opt::ParallelRepeater).  The
+    #    single-start protocol lands in a noise-absorbing local optimum on
+    #    fine-structure functions: GramacyLee n=600 learns noise std 0.29
+    #    (LML -146, MSE 0.087) while the true optimum sits at noise 0.008
+    #    (LML +1741, MSE 1.1e-5) — measured; restart 0 keeps the
+    #    reference's exact warm start, so multi-start only improves the
+    #    LML.  The f32 objective carries the "auto" conditioning ridge so
+    #    any candidate the restarts visit factorizes.
+    #
+    # 2. (precise mode) ONE f64-objective Rprop warm-started from the f32
+    #    winner — reference-parity conditioning exactly at the optimum.
+    #    Kept single-start deliberately: the f64-emulated objective under
+    #    8 vmapped restarts compiles pathologically on TPU (>40 min for
+    #    one program, measured r04) while the single-start f64 polish is
+    #    the exact r03 configuration (84 ms learn at n=600).
     hp = KernelLFOpt(optimizer=Rprop(iterations=50, eps_stop=1e-2),
-                     objective_dtype="float64" if precise else None)
+                     objective_jitter="auto",
+                     restarts=hp_restarts, epsilon=hp_epsilon)
+    hp_polish = (KernelLFOpt(optimizer=Rprop(iterations=50, eps_stop=1e-2),
+                             objective_dtype="float64")
+                 if precise else None)
 
     # the GP is fit on the unit-cube parameterization (per-dim linear input
     # scaling — the standard normalization; native scales like Piston's
@@ -105,6 +128,8 @@ def _make_runner(fn: RegressionFunction, dim: int, n: int, spec: ModelSpec,
     def fit_fn(U, Y, key):
         gp = gp_mod.fit(kern, NullMean(), U, Y, capacity=capacity)
         gp = hp(gp, key)
+        if hp_polish is not None:
+            gp = hp_polish(gp, key)
         if precise:
             # final factorization at the learned hyperparameters in f64:
             # the f32 solve error at cond(K) ~ sf^2/noise ~ 1e6 costs two
@@ -141,29 +166,68 @@ def run_regression_suite(functions: Optional[List[RegressionFunction]] = None,
         for dim in fn.dims:
             for n in points:
                 for spec in models:
-                    make_data, fit_fn, query_fn = _make_runner(
-                        fn, dim, n, spec, dtype=dtype)
+                    tag = f"{fn.name}_d{dim}_n{n}_{spec.name}"
+                    # resume: recorded replicates are kept and only the
+                    # missing rep indices run (rep keys are deterministic,
+                    # so a partial run continues exactly — same contract
+                    # as bo_suite.run_suite).  Oracle reps persist in a
+                    # sidecar <tag>.oracle.dat.
+                    dat_path = os.path.join(out_dir, tag + ".dat")
+                    ora_path = os.path.join(out_dir, tag + ".oracle.dat")
                     mses, t_learn, t_query = [], [], []
                     o_mses, o_learn, o_query = [], [], []
+                    done = 0
+                    if os.path.exists(dat_path):
+                        rows = np.loadtxt(dat_path, ndmin=2)
+                        done = min(rows.shape[0], nb_reps)
+                        mses = [float(v) for v in rows[:done, 0]]
+                        t_learn = [v / 1e3 for v in rows[:done, 1]]
+                        t_query = [v / 1e3 for v in rows[:done, 2]]
+                    o_done = 0
+                    if os.path.exists(ora_path):
+                        orows = np.loadtxt(ora_path, ndmin=2)
+                        o_done = min(orows.shape[0], oracle_reps)
+                        o_mses = [float(v) for v in orows[:o_done, 0]]
+                        o_learn = [v for v in orows[:o_done, 1]]
+                        o_query = [v for v in orows[:o_done, 2]]
+                    if done >= nb_reps and (not with_oracle
+                                            or o_done >= oracle_reps):
+                        make_data = fit_fn = query_fn = None
+                    else:
+                        make_data, fit_fn, query_fn = _make_runner(
+                            fn, dim, n, spec, dtype=dtype)
+                    compiled = False
                     for rep in range(nb_reps):
+                        need_tpu = rep >= done
+                        need_oracle = (with_oracle and rep < oracle_reps
+                                       and rep >= o_done)
+                        if not (need_tpu or need_oracle):
+                            continue
                         key = jax.random.PRNGKey(rep * 97 + 13)
                         kd, k1 = jax.random.split(key)
                         U, Y, Uq, Yq = make_data(kd)
-                        if rep == 0:                 # compile outside timing
+                        if need_tpu:
+                            if not compiled:         # compile outside timing
+                                gp = fit_fn(U, Y, k1)
+                                jax.block_until_ready(gp.L)
+                                out = query_fn(gp, Uq, Yq)
+                                jax.block_until_ready(out[0])
+                                compiled = True
+                            t0 = time.perf_counter()
                             gp = fit_fn(U, Y, k1)
                             jax.block_until_ready(gp.L)
-                            out = query_fn(gp, Uq, Yq)
-                            jax.block_until_ready(out[0])
-                        t0 = time.perf_counter()
-                        gp = fit_fn(U, Y, k1)
-                        jax.block_until_ready(gp.L)
-                        t_learn.append(time.perf_counter() - t0)
-                        t0 = time.perf_counter()
-                        mse, mu, var = query_fn(gp, Uq, Yq)
-                        jax.block_until_ready(mu)
-                        t_query.append(time.perf_counter() - t0)
-                        mses.append(float(mse))
-                        if with_oracle and rep < oracle_reps:
+                            tl = time.perf_counter() - t0
+                            t0 = time.perf_counter()
+                            mse, mu, var = query_fn(gp, Uq, Yq)
+                            jax.block_until_ready(mu)
+                            tq = time.perf_counter() - t0
+                            t_learn.append(tl)
+                            t_query.append(tq)
+                            mses.append(float(mse))
+                            with open(dat_path, "a") as fh:
+                                fh.write(f"{float(mse):.8f} {tl*1e3:.3f} "
+                                         f"{tq*1e3:.3f}\n")
+                        if need_oracle:
                             om, ol, oq = oracle_mod.fit_and_eval(
                                 np.asarray(U), np.asarray(Y), np.asarray(Uq),
                                 np.asarray(Yq),
@@ -171,7 +235,8 @@ def run_regression_suite(functions: Optional[List[RegressionFunction]] = None,
                             o_mses.append(om)
                             o_learn.append(ol)
                             o_query.append(oq)
-                    tag = f"{fn.name}_d{dim}_n{n}_{spec.name}"
+                            with open(ora_path, "a") as fh:
+                                fh.write(f"{om:.8f} {ol:.6f} {oq:.6f}\n")
                     row = {"mse": float(np.median(mses)),
                            "learn_ms": float(np.median(t_learn)) * 1e3,
                            "query_ms": float(np.median(t_query)) * 1e3}
@@ -184,9 +249,6 @@ def run_regression_suite(functions: Optional[List[RegressionFunction]] = None,
                         row["vs_oracle_query"] = (row["oracle_query_ms"]
                                                   / max(row["query_ms"], 1e-9))
                     summary[tag] = row
-                    with open(os.path.join(out_dir, tag + ".dat"), "a") as fh:
-                        for m, tl, tq in zip(mses, t_learn, t_query):
-                            fh.write(f"{m:.8f} {tl*1e3:.3f} {tq*1e3:.3f}\n")
                     if verbose:
                         extra = (f" | oracle mse={row.get('oracle_mse', 0):.5f}"
                                  f" {row.get('vs_oracle_learn', 0):.1f}x learn"

@@ -58,6 +58,12 @@ class RandomRestarts:
     repeats: int = struct.field(pytree_node=False, default=16)
     sweep_samples: int = struct.field(pytree_node=False, default=0)
     seed_from_sweep: bool = struct.field(pytree_node=False, default=True)
+    # "uniform" | "halton": the sweep's point set.  A randomized-Halton
+    # sweep has O(log n / n) star discrepancy vs O(n^{-1/2}) for iid
+    # uniform — closer to DIRECT's systematic space coverage at identical
+    # evaluation cost (the A/B behind the default is in
+    # benchmark_results/acqopt_ab.json).
+    sweep_kind: str = struct.field(pytree_node=False, default="uniform")
 
     def __call__(self, fun: Callable, init: jax.Array, key,
                  bounded: bool = True) -> OptResult:
@@ -67,8 +73,14 @@ class RandomRestarts:
 
         sweep_x = None
         if self.sweep_samples > 0:
-            sweep_x = jax.random.uniform(k_sweep, (self.sweep_samples, d),
-                                         dtype=init.dtype)
+            if self.sweep_kind == "halton":
+                from limbo_tpu.utils.random import halton
+
+                sweep_x = halton(k_sweep, self.sweep_samples, d,
+                                 dtype=init.dtype)
+            else:
+                sweep_x = jax.random.uniform(k_sweep, (self.sweep_samples, d),
+                                             dtype=init.dtype)
             sweep_v = jax.vmap(fun)(sweep_x)
 
         if self.seed_from_sweep and self.sweep_samples >= self.repeats:

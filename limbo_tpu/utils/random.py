@@ -47,6 +47,41 @@ def random_lhs(key: jax.Array, n: int, dim: int, dtype=jnp.float32) -> jax.Array
     return (perms.astype(dtype) + jitter) / n
 
 
+_HALTON_PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
+                  59, 61, 67, 71)
+
+
+def halton(key: jax.Array, n: int, dim: int, dtype=jnp.float32) -> jax.Array:
+    """Randomized Halton sequence: (n, dim) low-discrepancy points in
+    [0,1)^dim with an independent Cramér shift per dimension (mod 1), so
+    repeated calls stay unbiased while each draw keeps O(log n / n) star
+    discrepancy — vs O(sqrt(1/n)) for iid uniform.  Used as the global
+    sweep of the acquisition optimizer (the DIRECT-replacement's coverage
+    phase); fully jittable (digit loops unroll at trace time).
+
+    Falls back to iid uniform beyond the prime table (dim > 20).
+    """
+    import math
+
+    if dim > len(_HALTON_PRIMES):
+        return jax.random.uniform(key, (n, dim), dtype=dtype)
+    i0 = jnp.arange(1, n + 1)
+    cols = []
+    for b in _HALTON_PRIMES[:dim]:
+        digits = max(1, int(math.ceil(math.log(n + 1) / math.log(b))))
+        x = jnp.zeros((n,), dtype)
+        f = 1.0 / b
+        idx = i0
+        for _ in range(digits):
+            x = x + (idx % b).astype(dtype) * f
+            idx = idx // b
+            f = f / b
+        cols.append(x)
+    H = jnp.stack(cols, axis=1)
+    shift = jax.random.uniform(key, (dim,), dtype=dtype)
+    return jnp.mod(H + shift[None, :], 1.0)
+
+
 def grid_points(bins: int, dim: int, dtype=jnp.float32) -> jax.Array:
     """Full cartesian grid with (bins+1) points per dimension in [0,1]^dim.
 

@@ -227,3 +227,60 @@ def test_auglag_with_cmaes_sub():
     res = opt(lambda x: -jnp.sum(x ** 2),
               jnp.asarray([0.9, 0.9]), jax.random.PRNGKey(0), True)
     np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# DIRECT-L (opt/direct.py) — the deterministic global optimizer matching the
+# reference's NLOpt GN_DIRECT_L_RAND default (boptimizer.hpp:120-127)
+# ---------------------------------------------------------------------------
+
+
+def test_direct_finds_smooth_optimum():
+    from limbo_tpu.opt.direct import DirectL
+
+    opt = DirectL(rounds=48, splits_per_round=8)
+    res = opt(lambda x: -jnp.sum((x - 0.3) ** 2),
+              jnp.full((3,), 0.5, jnp.float64), jax.random.PRNGKey(0), True)
+    assert float(res.value) > -1e-6
+    np.testing.assert_allclose(np.asarray(res.x), 0.3, atol=2e-3)
+
+
+def test_direct_finds_multimodal_global():
+    """Rastrigin-4D: the function class the sweep+ascent replacement lost
+    to CMA-ES (benchmark_results/acqopt_ab.json); DIRECT's systematic
+    subdivision finds the global basin deterministically."""
+    from limbo_tpu.opt.direct import DirectL
+
+    def neg_rastrigin(x):
+        z = (x - 0.5) * 10.24
+        return -(10.0 * z.shape[0]
+                 + jnp.sum(z * z - 10.0 * jnp.cos(2 * jnp.pi * z)))
+
+    opt = DirectL(rounds=64, splits_per_round=16)
+    res = opt(neg_rastrigin, jnp.full((4,), 0.5, jnp.float64),
+              jax.random.PRNGKey(0), True)
+    assert float(res.value) > -1e-6          # global optimum is 0 at x=0.5
+
+
+def test_direct_deterministic_and_jittable():
+    from limbo_tpu.opt.direct import DirectL
+
+    def f(x):
+        return -jnp.sum((x - 0.42) ** 2) + 0.1 * jnp.sin(20 * x[0])
+
+    opt = DirectL(rounds=24, splits_per_round=8)
+    run = jax.jit(lambda k: opt(f, jnp.full((2,), 0.5, jnp.float64), k, True))
+    r1 = run(jax.random.PRNGKey(3))
+    r2 = run(jax.random.PRNGKey(3))
+    assert float(r1.value) == float(r2.value)
+    assert np.allclose(np.asarray(r1.x), np.asarray(r2.x))
+
+
+def test_direct_rejects_unbounded():
+    import pytest
+
+    from limbo_tpu.opt.direct import DirectL
+
+    with pytest.raises(ValueError):
+        DirectL()(lambda x: -jnp.sum(x ** 2), jnp.zeros((2,)),
+                  jax.random.PRNGKey(0), False)
