@@ -34,6 +34,7 @@ from limbo_tpu.means import DataMean
 from limbo_tpu.models.hp_opt import KernelLFOpt
 from limbo_tpu.opt.cmaes import Cmaes
 from limbo_tpu.opt.compose import RandomRestarts
+from limbo_tpu.opt.direct import DirectL
 from limbo_tpu.opt.gradient import Rprop
 
 
@@ -60,11 +61,17 @@ def default_variants() -> List[Variant]:
     # schedule choice (docs/BENCHMARKS.md).
     wide_restarts = RandomRestarts(sub=Rprop(iterations=15), repeats=64,
                                    sweep_samples=1024)
+    # OPT_DIRECT (src/benchmarks/wscript:84-95 variant list): the
+    # reference benches its NLOpt DIRECT default as its own variant —
+    # matched here by the batched DIRECT-L(-RAND) (opt/direct.py) at the
+    # same evaluation order (2049 centers vs the default's 2064 queries)
+    direct = DirectL(rounds=64, splits_per_round=16)
     return [
         Variant("limbo_def", UCB(alpha=0.125), grad_restarts),
         Variant("limbo_def_hpopt", UCB(alpha=0.125), grad_restarts,
                 hp_opt=True),
         Variant("opt_cmaes", UCB(alpha=0.125), cmaes),
+        Variant("opt_direct", UCB(alpha=0.125), direct),
         Variant("acq_ei", EI(), grad_restarts),
         Variant("acq_ucb", UCB(alpha=0.125), grad_restarts),
         Variant("acq_wide", UCB(alpha=0.125), wide_restarts),
