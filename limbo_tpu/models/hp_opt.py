@@ -64,8 +64,19 @@ def _cast_floats(tree, dtype):
 
 
 def _multi_start(objective: Callable, init: jax.Array, optimizer, key,
-                 restarts: int, epsilon: float) -> OptResult:
-    """Vmapped perturbed-restart wrapper (opt/parallel_repeater.hpp:77)."""
+                 restarts: int, epsilon: float,
+                 rank_objective: Optional[Callable] = None,
+                 extra_inits=()) -> OptResult:
+    """Vmapped perturbed-restart wrapper (opt/parallel_repeater.hpp:77).
+
+    rank_objective: when given, the winning restart is chosen by THIS
+    objective evaluated at each restart's final iterate instead of the
+    ascent objective's value.  Used to ascend on a conditioned/low-precision
+    surrogate (f32 + ridge) but select by the exact f64 LML — the ridged
+    f32 surface can rank a degenerate basin (noise -> 0, ell -> inf) above
+    the true optimum (measured: OTLCircuit d6 n=600, surrogate pick at f64
+    LML 19 vs 1716 for the good basin).
+    """
     if restarts <= 1:
         return optimizer(objective, init, key, bounded=False)
     k_pert, *k_runs = jax.random.split(key, restarts + 1)
@@ -74,11 +85,17 @@ def _multi_start(objective: Callable, init: jax.Array, optimizer, key,
                               maxval=epsilon)
     pert = pert.at[0].set(0.0)                  # restart 0 = exact warm start
     inits = init[None, :] + pert
+    # structured restarts (e.g. the tiny-noise init) take the next rows
+    for i, e in enumerate(extra_inits[:max(restarts - 1, 0)]):
+        inits = inits.at[1 + i].set(e)
     keys = jnp.stack(k_runs)
     res = jax.vmap(lambda i, k: optimizer(objective, i, k, bounded=False))(
         inits, keys)
-    best = jnp.argmax(res.value)
-    return OptResult(x=res.x[best], value=res.value[best])
+    value = (jax.vmap(rank_objective)(res.x) if rank_objective is not None
+             else res.value)
+    value = jnp.where(jnp.isfinite(value), value, -jnp.inf)
+    best = jnp.argmax(value)
+    return OptResult(x=res.x[best], value=value[best])
 
 
 class _HPOptMixin:
@@ -96,8 +113,26 @@ class _HPOptMixin:
                 return inner(p.astype(od)).astype(dtype)
         else:
             objective = make_objective(None)
+        rank_objective = None
+        rd = getattr(self, "rank_dtype", None)
+        if rd is not None and self.restarts > 1:
+            # exact-LML selection: evaluate each restart's winner under the
+            # rank dtype WITHOUT the conditioning ridge (one eval per
+            # restart — negligible even under f64 emulation on TPU)
+            rank_inner = make_objective(jnp.dtype(rd), ridge=False)
+            dtype = init.dtype
+
+            def rank_objective(p):
+                return rank_inner(p.astype(jnp.dtype(rd))).astype(dtype)
+        extra = self._structured_inits(gp, init)
         return _multi_start(objective, init, self.optimizer, key,
-                            self.restarts, self.epsilon)
+                            self.restarts, self.epsilon,
+                            rank_objective=rank_objective,
+                            extra_inits=extra)
+
+    def _structured_inits(self, gp: gp_mod.GP, init: jax.Array):
+        """Deterministic extra restart inits (strategy-specific)."""
+        return ()
 
     def _lifted(self, gp: gp_mod.GP, od):
         """(kernel, mean, x, y) possibly cast to the objective dtype."""
@@ -129,6 +164,21 @@ class _HPOptMixin:
         return float(oj)
 
 
+def _tiny_noise_init(gp: gp_mod.GP, init: jax.Array):
+    """When the kernel optimizes its noise (last kernel param), one restart
+    starts from the TINY-NOISE init (log_noise = log(0.01), the GPy-class
+    convention): the large-noise warm start can absorb fine structure as
+    noise and stall every perturbed trajectory in that basin — measured on
+    OTLCircuit d6 n=600, where only the tiny-noise start reaches the
+    LML-1716 basin (MSE 2.3e-5 vs 5e-3 from the noise=0.01-variance
+    default).  Only valid when `init` IS the kernel parameter vector."""
+    if getattr(gp.kernel, "optimize_noise", False):
+        import math
+
+        return (init.at[-1].set(math.log(0.01)),)
+    return ()
+
+
 @struct.dataclass
 class NoLFOpt:
     """Do-nothing strategy (limbo gp::NoLFOpt, no_lf_opt.hpp:57)."""
@@ -141,6 +191,9 @@ class NoLFOpt:
 class KernelLFOpt(_HPOptMixin):
     """Max log-marginal-likelihood over kernel params (kernel_lf_opt.hpp:57)."""
 
+    def _structured_inits(self, gp, init):
+        return _tiny_noise_init(gp, init)
+
     optimizer: object = struct.field(default_factory=_default_opt)
     restarts: int = struct.field(pytree_node=False, default=1)
     epsilon: float = struct.field(pytree_node=False, default=0.5)
@@ -148,11 +201,14 @@ class KernelLFOpt(_HPOptMixin):
                                                   default=None)
     objective_jitter: Optional[object] = struct.field(pytree_node=False,
                                                       default=None)
+    # rank multi-start winners by the objective in THIS dtype without the
+    # ridge (None = rank by the ascent objective's own values)
+    rank_dtype: Optional[str] = struct.field(pytree_node=False, default=None)
 
     def __call__(self, gp: gp_mod.GP, key=None) -> gp_mod.GP:
-        def make_objective(od):
+        def make_objective(od, ridge=True):
             kernel, mean, x, y = self._lifted(gp, od)
-            ridge = self._obj_jitter(gp, od)
+            ridge = self._obj_jitter(gp, od) if ridge else None
 
             def objective(p):
                 return gp_mod.log_marginal_likelihood(
@@ -170,6 +226,9 @@ class KernelLFOpt(_HPOptMixin):
 class KernelLooOpt(_HPOptMixin):
     """Max LOO-CV log prob over kernel params (kernel_loo_opt.hpp:57)."""
 
+    def _structured_inits(self, gp, init):
+        return _tiny_noise_init(gp, init)
+
     optimizer: object = struct.field(default_factory=_default_opt)
     restarts: int = struct.field(pytree_node=False, default=1)
     epsilon: float = struct.field(pytree_node=False, default=0.5)
@@ -177,11 +236,14 @@ class KernelLooOpt(_HPOptMixin):
                                                   default=None)
     objective_jitter: Optional[object] = struct.field(pytree_node=False,
                                                       default=None)
+    # rank multi-start winners by the objective in THIS dtype without the
+    # ridge (None = rank by the ascent objective's own values)
+    rank_dtype: Optional[str] = struct.field(pytree_node=False, default=None)
 
     def __call__(self, gp: gp_mod.GP, key=None) -> gp_mod.GP:
-        def make_objective(od):
+        def make_objective(od, ridge=True):
             kernel, mean, x, y = self._lifted(gp, od)
-            ridge = self._obj_jitter(gp, od)
+            ridge = self._obj_jitter(gp, od) if ridge else None
 
             def objective(p):
                 return gp_mod.log_loo_cv_fn(
@@ -209,13 +271,16 @@ class KernelMeanLFOpt(_HPOptMixin):
                                                   default=None)
     objective_jitter: Optional[object] = struct.field(pytree_node=False,
                                                       default=None)
+    # rank multi-start winners by the objective in THIS dtype without the
+    # ridge (None = rank by the ascent objective's own values)
+    rank_dtype: Optional[str] = struct.field(pytree_node=False, default=None)
 
     def __call__(self, gp: gp_mod.GP, key=None) -> gp_mod.GP:
         nk = gp.kernel.params_size
 
-        def make_objective(od):
+        def make_objective(od, ridge=True):
             kernel, mean, x, y = self._lifted(gp, od)
-            ridge = self._obj_jitter(gp, od)
+            ridge = self._obj_jitter(gp, od) if ridge else None
 
             def objective(p):
                 k = kernel.with_params(p[:nk])
@@ -243,11 +308,14 @@ class MeanLFOpt(_HPOptMixin):
                                                   default=None)
     objective_jitter: Optional[object] = struct.field(pytree_node=False,
                                                       default=None)
+    # rank multi-start winners by the objective in THIS dtype without the
+    # ridge (None = rank by the ascent objective's own values)
+    rank_dtype: Optional[str] = struct.field(pytree_node=False, default=None)
 
     def __call__(self, gp: gp_mod.GP, key=None) -> gp_mod.GP:
-        def make_objective(od):
+        def make_objective(od, ridge=True):
             kernel, mean, x, y = self._lifted(gp, od)
-            ridge = self._obj_jitter(gp, od)
+            ridge = self._obj_jitter(gp, od) if ridge else None
 
             def objective(p):
                 return gp_mod.log_marginal_likelihood(

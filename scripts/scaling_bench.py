@@ -103,6 +103,45 @@ def bench_rows(nd: int, rows_per_device: int = 4096, d: int = 16,
     return flops / t / 1e9, t
 
 
+def bench_big_iter(nd: int, rows_per_device: int = 256, block: int = 64,
+                   d: int = 4):
+    """Weak scaling of the beyond-one-chip BO iterate (sharded_big):
+    N grows with the mesh at fixed rows/device.  Reports per-iteration
+    wall time and the statically audited per-device psum payload — the
+    only multi-chip perf evidence derivable on a one-chip host."""
+    from limbo_tpu.acqui.acqui import UCB
+    from limbo_tpu.kernels import SquaredExpARD as SE
+    from limbo_tpu.means import DataMean
+    from limbo_tpu.opt.compose import RandomRestarts
+    from limbo_tpu.parallel.comm_audit import collective_volume
+    from limbo_tpu.parallel.sharded_big import (make_big_bo_iter,
+                                                sharded_cache_from_fit)
+    from limbo_tpu.parallel.sharded_chol import sharded_fit
+
+    mesh = make_mesh(nd, axis_name="rows")
+    N = nd * rows_per_device
+    n = N - 8
+    key = jax.random.PRNGKey(2)
+    kx, kstep = jax.random.split(key)
+    X = jax.random.uniform(kx, (N, d), dtype=jnp.float32)
+    Y = jnp.sin(3.0 * jnp.sum(X, axis=1, keepdims=True))
+    kernel = SE.create(dim=d, dtype=jnp.float32)
+    sgp = sharded_fit(mesh, kernel, DataMean.create(dim_out=1,
+                                                    dtype=jnp.float32),
+                      X, Y, n=jnp.asarray(n), block=block, axis="rows")
+    big = sharded_cache_from_fit(mesh, sgp, defer_m=16)
+    it = make_big_bo_iter(
+        mesh, lambda x: jnp.sin(jnp.sum(x))[None], UCB(alpha=0.5),
+        RandomRestarts(sub=Rprop(iterations=10), repeats=8,
+                       sweep_samples=64))
+    run = jax.jit(lambda b, k: it(b, k, jnp.asarray(0)))
+    t = _time(run, big, kstep, reps=5)
+    audit = collective_volume(lambda b, k: it(b, k, jnp.asarray(0)),
+                              big, kstep)
+    psum = audit.get("psum", {"count": 0, "bytes": 0})
+    return t, psum
+
+
 def main(out_dir: str = "scaling_results"):
     os.makedirs(out_dir, exist_ok=True)
     n_dev = len(jax.devices())
@@ -111,19 +150,27 @@ def main(out_dir: str = "scaling_results"):
     results = {"platform": jax.default_backend(),
                "devices": n_dev, "physical_cores": cores,
                "restart_axis": {}, "rows_axis": {}}
+    results["big_iter_axis"] = {}
     base_rate = None
-    print(f"| devices | restarts/s | efficiency | matvec GFLOP/s |")
-    print(f"|---|---|---|---|")
+    print("| devices | restarts/s | efficiency | matvec GFLOP/s |"
+          " big-iter ms (N) | psum KiB/iter |")
+    print("|---|---|---|---|---|---|")
     for nd in sizes:
         rate, t = bench_restarts(nd)
         gfs, t2 = bench_rows(nd)
+        t_big, psum = bench_big_iter(nd)
         if base_rate is None:
             base_rate = rate
         eff = rate / (nd * base_rate)
         results["restart_axis"][str(nd)] = {
             "restarts_per_s": rate, "time_s": t, "efficiency": eff}
         results["rows_axis"][str(nd)] = {"gflops": gfs, "time_s": t2}
-        print(f"| {nd} | {rate:.1f} | {eff*100:.0f}% | {gfs:.2f} |")
+        results["big_iter_axis"][str(nd)] = {
+            "iter_s": t_big, "N": nd * 256,
+            "psum_count": psum["count"], "psum_bytes": psum["bytes"]}
+        print(f"| {nd} | {rate:.1f} | {eff*100:.0f}% | {gfs:.2f} "
+              f"| {t_big*1e3:.1f} (N={nd*256}) "
+              f"| {psum['bytes']/1024:.0f} |")
     with open(os.path.join(out_dir, "scaling.json"), "w") as fh:
         json.dump(results, fh, indent=1)
     print(f"wrote {out_dir}/scaling.json")
