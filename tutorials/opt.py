@@ -4,7 +4,7 @@ use the opt:: layer directly, without any GP/BO machinery."""
 import jax
 import jax.numpy as jnp
 
-from limbo_tpu.opt import Cmaes, GridSearch, ParallelRepeater, Rprop
+from limbo_tpu.opt import Cmaes, DirectL, GridSearch, ParallelRepeater, Rprop
 
 
 def my_function(x):
@@ -21,6 +21,7 @@ if __name__ == "__main__":
                                             repeats=8)),
         ("grid", GridSearch(bins=20)),
         ("cmaes", Cmaes(iterations=60)),
+        ("direct-l", DirectL(rounds=32, splits_per_round=8)),
     ]:
         res = opt(my_function, init, key, True)
         print(f"{name:16s} -> x={res.x} value={float(res.value):.6f}")
