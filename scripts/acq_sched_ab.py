@@ -1,0 +1,59 @@
+"""Acquisition-schedule quality A/B: deep (32x30) vs wide-then-deep polish.
+
+Sequential ascent steps are the acquisition phase's cost on the large-n hot
+loop (one K^{-1} mirror read per step; restarts batch nearly free), so a
+schedule with fewer sequential steps at equal evaluation budget raises the
+headline iters/s 1.4-1.5x — IF BO quality holds.  The earlier wide-over-deep
+A/B (docs/BENCHMARKS.md "why 32x30") showed plain 64x15 under-converges on
+Hartmann3/6 + GoldsteinPrice; the polish schedule continues the top-k
+carries (adapted Rprop step sizes included) to restore convergence depth on
+the few restarts that matter.
+
+Runs the full reference BO protocol (8 functions x 10 reps, UCB alpha=.125)
+per schedule; writes benchmark_results/acq_sched/<name> + a summary print.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import json
+import time
+
+import jax.numpy as jnp
+
+from limbo_tpu.acqui import UCB
+from limbo_tpu.benchmarks.bo_suite import Variant, run_suite
+from limbo_tpu.benchmarks.functions import ALL_FUNCTIONS
+from limbo_tpu.opt.compose import RandomRestarts
+from limbo_tpu.opt.gradient import Rprop
+
+SCHEDULES = {
+    # name -> (repeats, steps, polish_k, polish_steps); sequential reads =
+    # steps + polish_steps + 2 final-candidate evals
+    "sched_32x30": (32, 30, 0, 0),
+    "sched_64x12_p8x8": (64, 12, 8, 8),
+    "sched_64x15_p8x10": (64, 15, 8, 10),
+}
+
+
+def main():
+    names = sys.argv[1:] or list(SCHEDULES)
+    out = {}
+    for name in names:
+        r, s, pk, ps = SCHEDULES[name]
+        opt = RandomRestarts(sub=Rprop(iterations=s), repeats=r,
+                             sweep_samples=1024, polish_k=pk, polish_steps=ps)
+        v = Variant(name, UCB(alpha=0.125), opt)
+        t0 = time.perf_counter()
+        summary = run_suite([v], ALL_FUNCTIONS, nb_reps=10, n_init=10,
+                            n_iters=190, out_dir="benchmark_results/acq_sched",
+                            dtype=jnp.float32, verbose=True)
+        print(f"{name}: {time.perf_counter()-t0:.0f}s", flush=True)
+        out.update(summary)
+    print(json.dumps({k: v["accuracy"] for k, v in out.items()}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,45 @@ def test_random_restarts_escapes_local_max():
     np.testing.assert_allclose(np.asarray(res.x), [0.8], atol=5e-2)
 
 
+def test_rprop_run_resume_matches_single_run():
+    """Rprop.run with a carried state == one uninterrupted run (the polish
+    phase must continue the ascent exactly, adapted step sizes included)."""
+    opt = Rprop(iterations=40)
+    full, _ = opt.run(sphere_max, jnp.asarray([0.9, 0.1]), bounded=True)
+    _, st = Rprop(iterations=25).run(sphere_max, jnp.asarray([0.9, 0.1]),
+                                     bounded=True)
+    resumed, _ = opt.run(sphere_max, None, bounded=True, state=st,
+                         iterations=15)
+    # the split run pays one extra final-candidate eval at step 25, which
+    # only updates the best-seen tracker — iterates match to fp tolerance
+    np.testing.assert_allclose(np.asarray(resumed.x), np.asarray(full.x),
+                               atol=1e-6)
+    assert float(resumed.value) >= float(full.value) - 1e-6
+
+
+def test_random_restarts_polish_multimodal():
+    """Wide-then-deep (polish) schedule still finds the global max and at
+    least matches the phase-1-only result on a funnel."""
+    def f(x):
+        return (jnp.exp(-100 * jnp.sum((x - 0.2) ** 2)) * 0.5
+                + jnp.exp(-100 * jnp.sum((x - 0.8) ** 2)))
+
+    opt = RandomRestarts(sub=Rprop(iterations=12), repeats=32,
+                         sweep_samples=512, polish_k=4, polish_steps=20)
+    res = opt(f, jnp.asarray([0.2]), KEY, True)
+    np.testing.assert_allclose(np.asarray(res.x), [0.8], atol=5e-2)
+
+    shallow = RandomRestarts(sub=Rprop(iterations=12), repeats=32,
+                             sweep_samples=512)
+    res_shallow = shallow(f, jnp.asarray([0.2]), KEY, True)
+    assert float(res.value) >= float(res_shallow.value) - 1e-6
+
+    # polish is jit-safe (the whole acquisition program compiles)
+    res_jit = jax.jit(lambda k: opt(f, jnp.asarray([0.2]), k, True))(KEY)
+    np.testing.assert_allclose(np.asarray(res_jit.x), np.asarray(res.x),
+                               atol=1e-6)
+
+
 def test_chained():
     opt = Chained(subs=(RandomSweep(samples=256), Rprop(iterations=100)))
     res = opt(sphere_max, jnp.asarray([0.9, 0.9]), KEY, True)
