@@ -49,7 +49,13 @@ def _log(msg):
 
 N_POINTS = int(os.environ.get("LIMBO_BENCH_N", 10_000))
 DIM = 8
-RESTARTS, ASCENT_STEPS, SWEEP = 32, 30, 1024
+# acquisition schedule (restarts x ascent steps): overridable for timing
+# A/Bs, e.g. LIMBO_BENCH_SCHEDULE=64x18.  The default matches the library's
+# default_acqui_optimizer; the quality A/B behind it is in
+# docs/BENCHMARKS.md ("why this schedule") + benchmark_results/acq_sched/.
+RESTARTS, ASCENT_STEPS = (int(v) for v in os.environ.get(
+    "LIMBO_BENCH_SCHEDULE", "64x20").split("x"))
+SWEEP = 1024
 QUERIES_PER_ITER = RESTARTS * ASCENT_STEPS + SWEEP + RESTARTS
 
 

@@ -51,7 +51,7 @@ class Variant:
 
 def default_variants() -> List[Variant]:
     # bench.cpp:60-100 benchmark Params: UCB alpha=0.125, kernel noise=1e-10
-    grad_restarts = RandomRestarts(sub=Rprop(iterations=30), repeats=32,
+    grad_restarts = RandomRestarts(sub=Rprop(iterations=20), repeats=64,
                                    sweep_samples=1024)
     cmaes = Cmaes(iterations=80, pop_size=16)
     # acq_wide: same 2016-eval budget as limbo_def but wide-over-deep

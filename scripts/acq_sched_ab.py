@@ -21,6 +21,15 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import json
 import time
 
+import jax
+
+# LIMBO_AB_CPU=1: run the quality A/B on the host CPU backend (accuracy
+# medians are backend-comparable; use when the TPU tunnel is congested).
+# Results land in acq_sched_cpu/ so CPU and TPU rows never mix.
+_CPU = os.environ.get("LIMBO_AB_CPU", "") == "1"
+if _CPU:
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from limbo_tpu.acqui import UCB
@@ -31,10 +40,19 @@ from limbo_tpu.opt.gradient import Rprop
 
 SCHEDULES = {
     # name -> (repeats, steps, polish_k, polish_steps); sequential reads =
-    # steps + polish_steps + 2 final-candidate evals
+    # steps + polish_steps + 1 or 2 final-candidate evals.  Since width is
+    # a free batch axis per read, a top-k polish phase is dominated by just
+    # running every restart deeper (64x20 == 64x12 + top64x8); the polish
+    # rows exist to demonstrate that empirically.
     "sched_32x30": (32, 30, 0, 0),
     "sched_64x12_p8x8": (64, 12, 8, 8),
     "sched_64x15_p8x10": (64, 15, 8, 10),
+    "sched_64x15": (64, 15, 0, 0),
+    "sched_64x18": (64, 18, 0, 0),
+    "sched_64x20": (64, 20, 0, 0),
+    "sched_64x24": (64, 24, 0, 0),
+    "sched_128x20": (128, 20, 0, 0),
+    "sched_128x24": (128, 24, 0, 0),
 }
 
 
@@ -47,8 +65,15 @@ def main():
                              sweep_samples=1024, polish_k=pk, polish_steps=ps)
         v = Variant(name, UCB(alpha=0.125), opt)
         t0 = time.perf_counter()
-        summary = run_suite([v], ALL_FUNCTIONS, nb_reps=10, n_init=10,
-                            n_iters=190, out_dir="benchmark_results/acq_sched",
+        out_dir = ("benchmark_results/acq_sched_cpu" if _CPU
+                   else "benchmark_results/acq_sched")
+        # 10-rep medians are bimodal noise on Hartmann6 (reps either find
+        # the good basin ~2e-3 or stall ~0.2; the median flips with 1-2
+        # reps) — schedule ranking needs 30+.  Resume logic reuses
+        # already-recorded reps when nb_reps grows.
+        nb_reps = int(os.environ.get("LIMBO_AB_REPS", "10"))
+        summary = run_suite([v], ALL_FUNCTIONS, nb_reps=nb_reps, n_init=10,
+                            n_iters=190, out_dir=out_dir,
                             dtype=jnp.float32, verbose=True)
         print(f"{name}: {time.perf_counter()-t0:.0f}s", flush=True)
         out.update(summary)
