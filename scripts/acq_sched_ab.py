@@ -39,11 +39,14 @@ from limbo_tpu.opt.compose import RandomRestarts
 from limbo_tpu.opt.gradient import Rprop
 
 SCHEDULES = {
-    # name -> (repeats, steps, polish_k, polish_steps); sequential reads =
-    # steps + polish_steps + 1 or 2 final-candidate evals.  Since width is
-    # a free batch axis per read, a top-k polish phase is dominated by just
-    # running every restart deeper (64x20 == 64x12 + top64x8); the polish
-    # rows exist to demonstrate that empirically.
+    # name -> (repeats, steps, polish_k, polish_steps[, sweep]); sequential
+    # reads = steps + polish_steps + 1 or 2 final-candidate evals.  Since
+    # width is a free batch axis per read, a top-k polish phase is dominated
+    # by just running every restart deeper (64x20 == 64x12 + top64x8); the
+    # polish rows exist to demonstrate that empirically.  Sweep size is also
+    # nearly free (the mirror read already happens; extra candidates only
+    # add ks-build flops) — the s2048/s4096 rows probe whether denser global
+    # coverage closes the multimodal (Rastrigin) gap to the CMA-ES variant.
     "sched_32x30": (32, 30, 0, 0),
     "sched_64x12_p8x8": (64, 12, 8, 8),
     "sched_64x15_p8x10": (64, 15, 8, 10),
@@ -53,6 +56,9 @@ SCHEDULES = {
     "sched_64x24": (64, 24, 0, 0),
     "sched_128x20": (128, 20, 0, 0),
     "sched_128x24": (128, 24, 0, 0),
+    "sched_64x20_s2048": (64, 20, 0, 0, 2048),
+    "sched_64x20_s4096": (64, 20, 0, 0, 4096),
+    "sched_64x15_s2048": (64, 15, 0, 0, 2048),
 }
 
 
@@ -60,9 +66,10 @@ def main():
     names = sys.argv[1:] or list(SCHEDULES)
     out = {}
     for name in names:
-        r, s, pk, ps = SCHEDULES[name]
+        r, s, pk, ps, *rest = SCHEDULES[name]
+        sweep = rest[0] if rest else 1024
         opt = RandomRestarts(sub=Rprop(iterations=s), repeats=r,
-                             sweep_samples=1024, polish_k=pk, polish_steps=ps)
+                             sweep_samples=sweep, polish_k=pk, polish_steps=ps)
         v = Variant(name, UCB(alpha=0.125), opt)
         t0 = time.perf_counter()
         out_dir = ("benchmark_results/acq_sched_cpu" if _CPU

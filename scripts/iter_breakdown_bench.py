@@ -33,7 +33,9 @@ from limbo_tpu.models import gp as gp_mod
 from limbo_tpu.opt.compose import RandomRestarts
 from limbo_tpu.opt.gradient import Rprop
 
-RESTARTS, ASCENT_STEPS, SWEEP = 32, 30, 1024
+RESTARTS, ASCENT_STEPS = (int(v) for v in os.environ.get(
+    "LIMBO_BENCH_SCHEDULE", "64x20").split("x"))  # library default
+SWEEP = 1024
 
 
 def log(msg):
