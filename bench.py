@@ -69,7 +69,8 @@ def bench_tpu(n=N_POINTS, d=DIM, iters=10):
     from limbo_tpu.opt.compose import RandomRestarts
     from limbo_tpu.opt.gradient import Rprop
 
-    capacity = -(-(n + iters + 2) // 512) * 512
+    # appends: 1 compile/warmup iteration + 4 timed groups of `iters`
+    capacity = -(-(n + 4 * iters + 2) // 512) * 512
     key = jax.random.PRNGKey(0)
     kx, ky = jax.random.split(key)
     X = jax.random.uniform(kx, (n, d), dtype=jnp.float32)
@@ -148,8 +149,9 @@ def bench_numpy(n=N_POINTS, d=DIM, iters=2):
     """Same algorithm, NumPy f64 (OpenBLAS — an Eigen-class CPU library),
     MEASURED end to end: a real GP fit (Cholesky + K^{-1}), then full BO
     iterations executing every posterior evaluation of the TPU loop's
-    acquisition schedule (30 ascent steps x 32-restart batches + the
-    1024-candidate sweep + final evals) against the real cached K^{-1},
+    acquisition schedule (ASCENT_STEPS ascent steps x RESTARTS-restart
+    batches + the 1024-candidate sweep + final evals; 64x20 by default,
+    LIMBO_BENCH_SCHEDULE overrides both sides) against the real cached K^{-1},
     plus the rank-1 update.  The baseline is NOT charged for gradient work
     (the TPU loop differentiates through every query), so the reported
     speedup is a lower bound."""

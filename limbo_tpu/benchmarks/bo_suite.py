@@ -54,7 +54,10 @@ def default_variants() -> List[Variant]:
     grad_restarts = RandomRestarts(sub=Rprop(iterations=20), repeats=64,
                                    sweep_samples=1024)
     cmaes = Cmaes(iterations=80, pop_size=16)
-    # acq_wide: same 2016-eval budget as limbo_def but wide-over-deep
+    # acq_wide: the round-2 wide-over-deep probe (64x15, 2048 ascent evals
+    # vs limbo_def's 64x20/2368).  Kept as a recorded variant; the schedule
+    # study that superseded it (30-rep, scripts/acq_sched_ab.py) is in
+    # docs/BENCHMARKS.md "why 64x20"
     # (64 restarts x 15 ascent steps): ascent steps serialize while restarts
     # batch for free, so this schedule halves the sequential depth of the
     # acquisition phase — the quality A/B behind the headline bench's

@@ -63,9 +63,11 @@ class RandomRestarts:
     # sub-optimizer exposing ``run(..., state=, iterations=)``, e.g. Rprop).
     # On the large-n hot loop restarts batch nearly free (one K^{-1} read
     # per step regardless of width) while steps serialize, so a
-    # 64x12 + top8x8 schedule does 21 sequential reads where 32x30 does 31
-    # at the same evaluation budget — the quality A/B behind the default
-    # schedule is in docs/BENCHMARKS.md.
+    # 64x12 + top8x8 schedule does 22 sequential reads (each run() phase
+    # adds one final-candidate eval) where 32x30 does 31.  Since width is
+    # free per read, polishing only the top k is dominated by running every
+    # restart deeper — the knobs exist for sub-optimizers that cannot batch
+    # wide; the measured schedule study is in docs/BENCHMARKS.md.
     polish_k: int = struct.field(pytree_node=False, default=0)
     polish_steps: int = struct.field(pytree_node=False, default=0)
     # "uniform" | "halton": the sweep's point set.  A randomized-Halton
@@ -101,8 +103,12 @@ class RandomRestarts:
                                        dtype=init.dtype)
             inits = inits.at[0].set(init)
 
-        do_polish = self.polish_k > 0 and self.polish_steps > 0 \
-            and hasattr(self.sub, "run")
+        do_polish = self.polish_k > 0 and self.polish_steps > 0
+        if do_polish and not hasattr(self.sub, "run"):
+            raise ValueError(
+                "polish_k/polish_steps require a resumable sub-optimizer "
+                f"exposing run(..., state=, iterations=); "
+                f"{type(self.sub).__name__} has no run()")
         if do_polish:
             res, states = jax.vmap(
                 lambda x0, k: self.sub.run(fun, x0, k, bounded))(inits, keys)

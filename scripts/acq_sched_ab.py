@@ -1,16 +1,19 @@
-"""Acquisition-schedule quality A/B: deep (32x30) vs wide-then-deep polish.
+"""Acquisition-schedule quality A/B (the study behind the 64x20 default).
 
 Sequential ascent steps are the acquisition phase's cost on the large-n hot
 loop (one K^{-1} mirror read per step; restarts batch nearly free), so a
-schedule with fewer sequential steps at equal evaluation budget raises the
-headline iters/s 1.4-1.5x — IF BO quality holds.  The earlier wide-over-deep
-A/B (docs/BENCHMARKS.md "why 32x30") showed plain 64x15 under-converges on
-Hartmann3/6 + GoldsteinPrice; the polish schedule continues the top-k
-carries (adapted Rprop step sizes included) to restore convergence depth on
-the few restarts that matter.
+schedule with fewer sequential steps raises the headline iters/s 1.4-1.5x —
+IF BO quality holds.  Outcome (docs/BENCHMARKS.md "why 64x20"): at 30 reps
+per function, 64x20 — and 64x15 — are Mann-Whitney-indistinguishable from
+the old 32x30 default on every suite function; the round-2 claim that wide
+schedules under-converge on Hartmann3/6 was 10-rep bimodal-median noise.
+Top-k polish phases and denser sweeps were measured here too and are
+dominated (see SCHEDULES below).
 
-Runs the full reference BO protocol (8 functions x 10 reps, UCB alpha=.125)
-per schedule; writes benchmark_results/acq_sched/<name> + a summary print.
+Runs the full reference BO protocol (8 functions x LIMBO_AB_REPS reps,
+default 30 — 10-rep medians are noise on Hartmann6, see below — UCB
+alpha=.125) per schedule; writes benchmark_results/acq_sched[_cpu]/<name>
++ a summary print.
 """
 import os
 import sys
@@ -78,7 +81,7 @@ def main():
         # the good basin ~2e-3 or stall ~0.2; the median flips with 1-2
         # reps) — schedule ranking needs 30+.  Resume logic reuses
         # already-recorded reps when nb_reps grows.
-        nb_reps = int(os.environ.get("LIMBO_AB_REPS", "10"))
+        nb_reps = int(os.environ.get("LIMBO_AB_REPS", "30"))
         summary = run_suite([v], ALL_FUNCTIONS, nb_reps=nb_reps, n_init=10,
                             n_iters=190, out_dir=out_dir,
                             dtype=jnp.float32, verbose=True)

@@ -127,6 +127,15 @@ def test_random_restarts_polish_multimodal():
                                atol=1e-6)
 
 
+def test_polish_requires_resumable_sub():
+    """Polish knobs on a non-resumable sub-optimizer raise instead of
+    silently running a phase-1-only schedule."""
+    opt = RandomRestarts(sub=Adam(iterations=12), repeats=8,
+                         sweep_samples=64, polish_k=4, polish_steps=8)
+    with pytest.raises(ValueError, match="resumable"):
+        opt(sphere_max, jnp.asarray([0.5]), KEY, True)
+
+
 def test_chained():
     opt = Chained(subs=(RandomSweep(samples=256), Rprop(iterations=100)))
     res = opt(sphere_max, jnp.asarray([0.9, 0.9]), KEY, True)
