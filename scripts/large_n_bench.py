@@ -4,8 +4,9 @@ BASELINE.md's north star is the n=10k-50k regime.  This measures, per n:
   * GP fit (gram + Cholesky + solves) steady-state,
   * QueryCache build (blocked triangular inverse + Kinv),
   * BO iteration (acquisition maximization + linv cached update),
-with the bench.py protocol (d=8, 32 restarts x 30 ascent steps + 1024
-sweep, bf16 query mirror).  Memory budget per n (f32): L + Linv + Kinv
+with the bench.py protocol (d=8, 64 restarts x 20 ascent steps + 1024
+sweep — the round-5 default schedule; rows recorded before round 5 used
+32x30 — bf16 query mirror).  Memory budget per n (f32): L + Linv + Kinv
 + bf16 mirror ~ 3.5 N^2 bytes + workspace — n=24576 ~ 8.5 GB of a v5e's
 16 GB HBM; beyond that the row-sharded / iterative paths take over
 (parallel/sharded_chol.py, models/iterative.py).
@@ -38,7 +39,7 @@ from limbo_tpu.models import gp as gp_mod
 from limbo_tpu.opt.compose import RandomRestarts
 from limbo_tpu.opt.gradient import Rprop
 
-RESTARTS, ASCENT_STEPS, SWEEP = 32, 30, 1024
+RESTARTS, ASCENT_STEPS, SWEEP = 64, 20, 1024
 ITERS = 6
 D = 8
 LITE = False
@@ -132,6 +133,7 @@ def run(n, lite=False):
     log(f"n={n}: finite={finite}")
 
     return {"n": n, "capacity": capacity, "lite": lite, "finite": finite,
+            "schedule": f"{RESTARTS}x{ASCENT_STEPS}",
             "fit_ms": round(t_fit * 1e3, 1),
             "cache_build_ms": round(t_cache * 1e3, 1),
             "bo_iter_ms": round(t_iter * 1e3, 2),
